@@ -1,0 +1,395 @@
+"""Model decorators (models wrapping models).
+
+Reference parity: ``src/qinfer/derived_models.py`` (SURVEY.md §2 #8) —
+``DerivedModel``, ``PoisonedModel``, ``BinomialModel``, ``MultinomialModel``,
+``MLEModel``, ``RandomWalkModel``, ``GaussianRandomWalkModel``.
+
+TPU-native stance: decorators stay pure pytree Modules, so a decorated model
+passes through ``jit``/``scan`` exactly like a base model. The one
+shape-hazard is :class:`BinomialModel` with per-experiment ``n_meas``: the
+outcome grid must be static under jit, so the decorator carries a static
+``n_meas_max`` and pads the outcome axis with a validity mask (SURVEY.md §7
+"Static-shape variable outcomes"); padded slots get zero likelihood and the
+engine's masked reductions ignore them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .abstract_model import (
+    Model,
+    FiniteOutcomeModel,
+    DifferentiableModel,
+    n_expparams,
+)
+from .domains import IntegerDomain, MultinomialDomain
+from .config import EPS
+from .utils import log_binomial_pdf, sample_multinomial, multinomial_pdf
+
+__all__ = [
+    "DerivedModel",
+    "PoisonedModel",
+    "BinomialModel",
+    "MultinomialModel",
+    "MLEModel",
+    "RandomWalkModel",
+    "GaussianRandomWalkModel",
+]
+
+
+class DerivedModel(Model):
+    """Base for models that decorate an underlying model, delegating the
+    full Simulatable/Model contract by default.
+
+    Reference parity: ``derived_models.py::DerivedModel`` (``underlying_model``,
+    ``base_model``, ``model_chain``).
+    """
+
+    def __init__(self, underlying_model):
+        super().__init__()
+        self.underlying_model = underlying_model
+
+    @property
+    def base_model(self):
+        """The innermost non-derived model."""
+        m = self.underlying_model
+        while isinstance(m, DerivedModel):
+            m = m.underlying_model
+        return m
+
+    @property
+    def model_chain(self):
+        """Tuple of models from this decorator down to the base model."""
+        chain = [self]
+        m = self.underlying_model
+        while isinstance(m, DerivedModel):
+            chain.append(m)
+            m = m.underlying_model
+        chain.append(m)
+        return tuple(chain)
+
+    # -- delegation --------------------------------------------------------
+    @property
+    def n_modelparams(self):
+        return self.underlying_model.n_modelparams
+
+    @property
+    def modelparam_names(self):
+        return self.underlying_model.modelparam_names
+
+    @property
+    def expparams_dtype(self):
+        return self.underlying_model.expparams_dtype
+
+    @property
+    def is_n_outcomes_constant(self):
+        return self.underlying_model.is_n_outcomes_constant
+
+    @property
+    def Q(self):
+        return self.underlying_model.Q
+
+    def n_outcomes(self, expparams=None):
+        return self.underlying_model.n_outcomes(expparams)
+
+    def domain(self, expparams=None):
+        return self.underlying_model.domain(expparams)
+
+    def outcomes(self, expparams=None):
+        return self.underlying_model.outcomes(expparams)
+
+    def outcome_mask(self, expparams):
+        return self.underlying_model.outcome_mask(expparams)
+
+    def are_models_valid(self, modelparams):
+        return self.underlying_model.are_models_valid(modelparams)
+
+    def canonicalize(self, modelparams):
+        return self.underlying_model.canonicalize(modelparams)
+
+    def experiment_cost(self, expparams):
+        return self.underlying_model.experiment_cost(expparams)
+
+    def update_timestep(self, key, modelparams, expparams):
+        return self.underlying_model.update_timestep(
+            key, modelparams, expparams)
+
+    def likelihood(self, outcomes, modelparams, expparams):
+        return self.underlying_model.likelihood(
+            outcomes, modelparams, expparams)
+
+    def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+        return self.underlying_model.simulate_experiment(
+            key, modelparams, expparams, repeat=repeat)
+
+
+class PoisonedModel(DerivedModel):
+    """Deliberately corrupt likelihoods with ALE-calibrated noise — the
+    library's fault-injection tool for robustness studies.
+
+    Reference parity: ``derived_models.py::PoisonedModel(model, tol /
+    n_samples+hedge)`` — in ALE mode the perturbation std matches the
+    hedged-beta standard error an :class:`~qinfer_tpu.ale.ALEApproximateModel`
+    would incur; in tol mode it is a constant ``tol``.
+
+    TPU-native: noise is keyed (deterministic per seed); the instance holds
+    a key consumed per call so poisoning remains reproducible.
+    """
+
+    def __init__(self, underlying_model, tol=None, n_samples=None,
+                 hedge=None, seed=0):
+        super().__init__(underlying_model)
+        if tol is None and n_samples is None:
+            raise ValueError("specify tol (constant mode) or n_samples (ALE mode)")
+        self.tol = float(tol) if tol is not None else None
+        self.n_samples = int(n_samples) if n_samples is not None else None
+        self.hedge = float(hedge) if hedge is not None else 0.0
+        self._noise_key = jax.random.key(seed)
+
+    def _next_key(self):
+        key = getattr(self, "_noise_key", None)
+        if key is None:
+            key = jax.random.key(0)
+        key, sub = jax.random.split(key)
+        object.__setattr__(self, "_noise_key", key)
+        return sub
+
+    def likelihood(self, outcomes, modelparams, expparams):
+        L = self.underlying_model.likelihood(outcomes, modelparams, expparams)
+        if self.tol is not None:
+            sigma = self.tol
+        else:
+            # ALE-calibrated: hedged binomial standard error at probability L
+            n, h = self.n_samples, self.hedge
+            p_hat = (L * n + h) / (n + 2 * h)
+            sigma = jnp.sqrt(p_hat * (1 - p_hat) / (n + 2 * h + 1))
+        noise = jax.random.normal(self._next_key(), L.shape) * sigma
+        return jnp.clip(L + noise, 0.0, 1.0)
+
+
+class BinomialModel(DerivedModel):
+    """Lift a two-outcome model to batched repetitions: expparams gain an
+    ``n_meas`` field and outcomes become success counts.
+
+    Reference parity: ``derived_models.py::BinomialModel(two_outcome_model)``
+    — likelihood is ``binomial_pdf(n_meas, outcome, pr0)``; simulation draws
+    binomials.
+
+    :param int n_meas_max: static upper bound on ``n_meas`` (TPU jit needs a
+        fixed outcome-grid shape for experiment design; updates themselves
+        accept any count). Defaults to 128.
+    """
+
+    def __init__(self, underlying_model, n_meas_max=128):
+        if underlying_model.n_outcomes(None) != 2:
+            raise ValueError("BinomialModel requires a two-outcome model")
+        super().__init__(underlying_model)
+        self.n_meas_max = int(n_meas_max)
+
+    @property
+    def decorated_model(self):
+        return self.underlying_model
+
+    @property
+    def expparams_dtype(self):
+        return list(self.underlying_model.expparams_dtype) + [
+            ("n_meas", "int32")]
+
+    @property
+    def is_n_outcomes_constant(self):
+        return False
+
+    def n_outcomes(self, expparams=None):
+        return self.n_meas_max + 1
+
+    def domain(self, expparams=None):
+        if expparams is None:
+            return IntegerDomain(0, self.n_meas_max)
+        eps = self.canonicalize_expparams(expparams)
+        n_meas = np.asarray(eps["n_meas"])
+        return [IntegerDomain(0, int(m)) for m in n_meas]
+
+    def outcomes(self, expparams=None):
+        return jnp.arange(self.n_meas_max + 1, dtype=jnp.int32)
+
+    def outcome_mask(self, expparams):
+        eps = self.canonicalize_expparams(expparams)
+        n_meas = jnp.asarray(eps["n_meas"])
+        grid = jnp.arange(self.n_meas_max + 1)
+        return grid[:, None] <= n_meas[None, :]
+
+    def _pr0(self, modelparams, eps):
+        two_eps = {k: v for k, v in eps.items() if k != "n_meas"}
+        L0 = self.underlying_model.likelihood(
+            jnp.array([0]), modelparams, two_eps)
+        return L0[0]  # (n_models, n_eps)
+
+    def likelihood(self, outcomes, modelparams, expparams):
+        self._bump("_call_count")
+        modelparams = jnp.atleast_2d(modelparams)
+        eps = self.canonicalize_expparams(expparams)
+        pr0 = self._pr0(modelparams, eps)  # (n_m, n_e)
+        n_meas = jnp.asarray(eps["n_meas"]).astype(pr0.dtype)
+        outcomes = jnp.atleast_1d(outcomes).astype(pr0.dtype)
+        # log-binomial over (n_out, n_m, n_e); success := outcome 0 count
+        logp = log_binomial_pdf(
+            n_meas[None, None, :], outcomes[:, None, None], pr0[None, :, :])
+        valid = outcomes[:, None, None] <= n_meas[None, None, :]
+        return jnp.where(valid, jnp.exp(logp), 0.0)
+
+    def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+        self._bump("_sim_count", int(repeat))
+        modelparams = jnp.atleast_2d(modelparams)
+        eps = self.canonicalize_expparams(expparams)
+        pr0 = self._pr0(modelparams, eps)  # (n_m, n_e)
+        n_meas = jnp.asarray(eps["n_meas"])
+        # Fixed-shape binomial draw: n_meas_max uniforms, masked by n_meas.
+        u = jax.random.uniform(
+            key, (repeat,) + pr0.shape + (self.n_meas_max,))
+        trial_idx = jnp.arange(self.n_meas_max)
+        active = trial_idx[None, None, None, :] < n_meas[None, None, :, None]
+        successes = jnp.sum((u < pr0[None, :, :, None]) & active, axis=-1)
+        out = successes.astype(jnp.int32)
+        if repeat == 1:
+            out = out[0]
+        return out
+
+    def update_timestep(self, key, modelparams, expparams):
+        eps = self.canonicalize_expparams(expparams)
+        two_eps = {k: v for k, v in eps.items() if k != "n_meas"}
+        return self.underlying_model.update_timestep(
+            key, modelparams, two_eps)
+
+
+class MultinomialModel(DerivedModel):
+    """Lift a k-outcome model to batched repetitions with count-vector
+    outcomes over a :class:`~qinfer_tpu.domains.MultinomialDomain`.
+
+    Reference parity: ``derived_models.py::MultinomialModel``.
+    """
+
+    def __init__(self, underlying_model, n_meas_max=32):
+        super().__init__(underlying_model)
+        self.n_elements = int(underlying_model.n_outcomes(None))
+        self.n_meas_max = int(n_meas_max)
+
+    @property
+    def expparams_dtype(self):
+        return list(self.underlying_model.expparams_dtype) + [
+            ("n_meas", "int32")]
+
+    @property
+    def is_n_outcomes_constant(self):
+        return False
+
+    def n_outcomes(self, expparams=None):
+        eps = self.canonicalize_expparams(expparams) if expparams is not None \
+            else None
+        n = int(eps["n_meas"][0]) if eps is not None else self.n_meas_max
+        return MultinomialDomain(n, self.n_elements).n_members
+
+    def domain(self, expparams=None):
+        if expparams is None:
+            return MultinomialDomain(self.n_meas_max, self.n_elements)
+        eps = self.canonicalize_expparams(expparams)
+        return [MultinomialDomain(int(m), self.n_elements)
+                for m in np.asarray(eps["n_meas"])]
+
+    def _category_probs(self, modelparams, eps):
+        sub_eps = {k: v for k, v in eps.items() if k != "n_meas"}
+        outcomes = jnp.arange(self.n_elements)
+        L = self.underlying_model.likelihood(outcomes, modelparams, sub_eps)
+        return jnp.moveaxis(L, 0, -1)  # (n_m, n_e, k)
+
+    def likelihood(self, outcomes, modelparams, expparams):
+        """``outcomes``: (n_out, k) count vectors."""
+        self._bump("_call_count")
+        modelparams = jnp.atleast_2d(modelparams)
+        eps = self.canonicalize_expparams(expparams)
+        probs = self._category_probs(modelparams, eps)  # (n_m, n_e, k)
+        outcomes = jnp.atleast_2d(outcomes)  # (n_out, k)
+        return multinomial_pdf(
+            outcomes[:, None, None, :], probs[None, :, :, :])
+
+    def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+        self._bump("_sim_count", int(repeat))
+        modelparams = jnp.atleast_2d(modelparams)
+        eps = self.canonicalize_expparams(expparams)
+        probs = self._category_probs(modelparams, eps)  # (n_m, n_e, k)
+        n_meas = int(np.asarray(eps["n_meas"])[0])
+        n_m, n_e, k = probs.shape
+
+        flat = probs.reshape(-1, k)
+        keys = jax.random.split(key, flat.shape[0] * repeat)
+
+        def draw(kk, p):
+            return sample_multinomial(kk, n_meas, p)
+
+        draws = jax.vmap(draw)(
+            keys, jnp.tile(flat, (repeat, 1)))
+        out = draws.reshape(repeat, n_m, n_e, k)
+        if repeat == 1:
+            out = out[0]
+        return out
+
+
+class MLEModel(DerivedModel):
+    """Anneal likelihoods to a power so the SMC approximates maximum
+    likelihood estimation.
+
+    Reference parity: ``derived_models.py::MLEModel(model, likelihood_power)``.
+    """
+
+    def __init__(self, underlying_model, likelihood_power=1.0):
+        super().__init__(underlying_model)
+        self.likelihood_power = float(likelihood_power)
+
+    def likelihood(self, outcomes, modelparams, expparams):
+        L = self.underlying_model.likelihood(outcomes, modelparams, expparams)
+        return jnp.clip(L, EPS, None) ** self.likelihood_power
+
+
+class RandomWalkModel(DerivedModel):
+    """Add a random step (drawn from ``step_distribution``) to the model
+    parameters after each experiment — online tracking of drifting
+    parameters.
+
+    Reference parity: ``derived_models.py::RandomWalkModel(model,
+    step_distribution)`` (implements ``update_timestep``).
+    """
+
+    def __init__(self, underlying_model, step_distribution):
+        super().__init__(underlying_model)
+        self.step_distribution = step_distribution
+
+    def update_timestep(self, key, modelparams, expparams):
+        modelparams = jnp.atleast_2d(modelparams)
+        eps = self.canonicalize_expparams(expparams)
+        n_e = n_expparams(eps)
+        n_m = modelparams.shape[0]
+        steps = self.step_distribution.sample(key, n_m * n_e)
+        steps = steps.reshape(n_m, n_e, -1)
+        return modelparams[:, :, None] + jnp.moveaxis(steps, 1, 2)
+
+
+class GaussianRandomWalkModel(RandomWalkModel):
+    """Gaussian random walk with fixed or diagonal covariance.
+
+    Reference parity: ``derived_models.py::GaussianRandomWalkModel`` — here
+    the fixed-Σ variant (the learned-Σ variant of later upstream adds Σ
+    entries as model parameters and is out of scope for parity round 1;
+    tracked in docs/PARITY.md).
+    """
+
+    def __init__(self, underlying_model, scale=0.01, diagonal=True):
+        from .distributions import MultivariateNormalDistribution
+
+        d = underlying_model.n_modelparams
+        scale_arr = np.broadcast_to(np.asarray(scale, dtype=np.float64), (d,))
+        cov = np.diag(scale_arr ** 2)
+        step = MultivariateNormalDistribution(np.zeros(d), cov)
+        super().__init__(underlying_model, step)
+        self.diagonal = bool(diagonal)

@@ -1,0 +1,171 @@
+"""Optimized adaptive experiment design.
+
+Reference parity: ``src/qinfer/expdesign.py`` (SURVEY.md §2 #13) —
+``ExperimentDesigner(updater, opt_algo)`` /
+``design_expparams_field(guess, field, ...)`` minimizing
+``updater.bayes_risk`` over one field of the expparams via Nelder-Mead or
+CG with finite-difference gradients, keeping the best of stored guesses.
+
+TPU-native stance: the default optimizer is a **vectorized grid+refine
+search** (``opt_algo=OptimizationAlgorithms.GRID``): the risk of hundreds of
+candidates is scored in ONE batched ``bayes_risk`` call (a single fused XLA
+reduction over particles × outcomes × candidates) and the grid zooms around
+the incumbent — far better use of the MXU than the reference's sequential
+scipy simplex, which evaluates one candidate per step. ``NM`` and ``CG``
+remain available for parity and call scipy on the host with device-side
+objective evaluations.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+import jax.numpy as jnp
+
+from .abstract_model import n_expparams
+from .finite_difference import FiniteDifference
+
+__all__ = ["ExperimentDesigner", "OptimizationAlgorithms"]
+
+
+class OptimizationAlgorithms(enum.Enum):
+    """Reference parity: ``expdesign.py::OptimizationAlgorithms`` (CG, NM)
+    plus the TPU-native batched GRID search."""
+
+    NM = 0
+    CG = 1
+    GRID = 2
+
+
+class ExperimentDesigner:
+    """Design locally-optimal experiments against an updater's Bayes risk.
+
+    Reference parity: ``src/qinfer/expdesign.py::ExperimentDesigner``.
+    """
+
+    def __init__(self, updater, opt_algo=OptimizationAlgorithms.GRID):
+        self.updater = updater
+        if not isinstance(opt_algo, OptimizationAlgorithms):
+            raise ValueError("opt_algo must be an OptimizationAlgorithms")
+        self.opt_algo = opt_algo
+        self._best_guess = None
+        self._best_risk = np.inf
+
+    def new_exp(self):
+        """Forget stored guesses (call between experiments).
+
+        Reference parity: ``ExperimentDesigner.new_exp``.
+        """
+        self._best_guess = None
+        self._best_risk = np.inf
+
+    # -- objective ---------------------------------------------------------
+
+    def _risk_of(self, base_eps, field, values, cost_scale_k=1.0,
+                 cost_mult=False):
+        """Risk for a batch of candidate values of one scalar field."""
+        values = jnp.atleast_1d(jnp.asarray(values))
+        n_cand = values.shape[0]
+        eps = {
+            k: jnp.broadcast_to(v[:1], (n_cand,) + v.shape[1:])
+            for k, v in base_eps.items()
+        }
+        eps[field] = values.astype(eps[field].dtype
+                                   if field in eps else jnp.float32)
+        risk = self.updater.bayes_risk(eps)
+        if cost_scale_k != 1.0 or cost_mult:
+            cost = self.updater.model.experiment_cost(eps)
+            if cost_mult:
+                risk = risk * (1.0 + cost_scale_k * cost)
+            else:
+                risk = risk + cost_scale_k * cost
+        return np.asarray(risk), eps
+
+    # -- main entry --------------------------------------------------------
+
+    def design_expparams_field(self, guess, field,
+                               cost_scale_k=1.0, disp=False,
+                               maxiter=24, maxfun=None, store_guess=False,
+                               grad_h=1e-6, cost_mult=False,
+                               n_grid=64, n_zoom=3, zoom_factor=0.25):
+        """Optimize one scalar field of the expparams.
+
+        Reference parity: ``expdesign.py::ExperimentDesigner.
+        design_expparams_field(guess, field, cost_scale_k, disp, maxiter,
+        maxfun, store_guess, grad_h, cost_mult)``. ``guess`` is either an
+        expparams record (dict / structured array) or a ``Heuristic``
+        instance to call for one.
+
+        :return: the optimized expparams dict (one experiment).
+        """
+        from .heuristics import Heuristic
+
+        if isinstance(guess, Heuristic):
+            base_eps = guess()
+        elif isinstance(guess, type) and issubclass(guess, Heuristic):
+            base_eps = guess(self.updater)()
+        else:
+            base_eps = self.updater.model.canonicalize_expparams(guess)
+        base_eps = {k: jnp.atleast_1d(jnp.asarray(v))
+                    for k, v in base_eps.items()}
+
+        x0 = float(np.asarray(base_eps[field]).ravel()[0])
+
+        if self.opt_algo is OptimizationAlgorithms.GRID:
+            best_x, best_risk = self._grid_search(
+                base_eps, field, x0, cost_scale_k, cost_mult,
+                n_grid=n_grid, n_zoom=n_zoom, zoom_factor=zoom_factor)
+        else:
+            objective = lambda x: float(self._risk_of(
+                base_eps, field, np.atleast_1d(x)[:1], cost_scale_k,
+                cost_mult)[0][0])
+            import scipy.optimize as opt
+
+            if self.opt_algo is OptimizationAlgorithms.NM:
+                res = opt.fmin(objective, x0, disp=bool(disp),
+                               maxiter=maxiter, maxfun=maxfun,
+                               full_output=True)
+                best_x, best_risk = float(np.atleast_1d(res[0])[0]), float(res[1])
+            else:  # CG
+                grad = FiniteDifference(objective, 1, h=grad_h)
+                res = opt.fmin_cg(objective, np.atleast_1d(x0),
+                                  fprime=lambda x: grad(x),
+                                  disp=bool(disp), maxiter=maxiter,
+                                  full_output=True)
+                best_x, best_risk = float(np.atleast_1d(res[0])[0]), float(res[1])
+
+        if store_guess:
+            if best_risk < self._best_risk:
+                self._best_risk = best_risk
+                self._best_guess = (best_x, dict(base_eps))
+            else:
+                best_x, stored = self._best_guess
+                base_eps = dict(stored)
+
+        out = dict(base_eps)
+        out[field] = jnp.atleast_1d(jnp.asarray(
+            best_x, dtype=np.asarray(base_eps[field]).dtype))
+        if disp:
+            print(f"design_expparams_field: {field}={best_x:.6g} "
+                  f"risk={best_risk:.6g}")
+        return out
+
+    def _grid_search(self, base_eps, field, x0, cost_scale_k, cost_mult,
+                     n_grid, n_zoom, zoom_factor):
+        """Batched zooming grid search — each round is ONE vectorized
+        bayes_risk evaluation of ``n_grid`` candidates."""
+        lo = x0 / 10.0 if x0 > 0 else x0 - 1.0
+        hi = x0 * 10.0 if x0 > 0 else x0 + 1.0
+        best_x, best_risk = x0, np.inf
+        for _ in range(max(1, int(n_zoom))):
+            grid = np.linspace(lo, hi, n_grid)
+            risks, _ = self._risk_of(
+                base_eps, field, grid, cost_scale_k, cost_mult)
+            i = int(np.argmin(risks))
+            if risks[i] < best_risk:
+                best_risk = float(risks[i])
+                best_x = float(grid[i])
+            span = (hi - lo) * zoom_factor
+            lo, hi = best_x - span / 2, best_x + span / 2
+        return best_x, best_risk

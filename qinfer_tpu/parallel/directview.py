@@ -32,6 +32,10 @@ class DirectViewParallelizedModel(DerivedModel):
     (serial_model, direct_view, purge_client, serial_threshold)``.
     """
 
+    #: Signals the SMC engine to run update steps eagerly (this likelihood
+    #: dispatches to a host-side engine pool and cannot be traced by XLA).
+    host_only = True
+
     def __init__(self, serial_model, direct_view, purge_client=False,
                  serial_threshold=None):
         super().__init__(serial_model)

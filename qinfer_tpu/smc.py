@@ -101,9 +101,9 @@ def _is_time_dep(model):
     return type(model).update_timestep is not Simulatable.update_timestep
 
 
-@partial(jax.jit, static_argnames=("check_resample",))
-def _update_step(model, resampler, state, outcome, eps,
-                 resample_thresh, zero_weight_thresh, check_resample=True):
+def _update_step_impl(model, resampler, state, outcome, eps,
+                      resample_thresh, zero_weight_thresh,
+                      check_resample=True):
     """One fused SMC update: reweight → (timestep) → ESS check → resample.
 
     Reference parity: ``smc.py::SMCUpdater.update`` +
@@ -151,6 +151,54 @@ def _update_step(model, resampler, state, outcome, eps,
         zero_weight_count=state.zero_weight_count + was_zero.astype(jnp.int32),
     )
     return new_state, norm, was_zero
+
+
+#: Jit-compiled update step (the default path).
+_update_step = partial(jax.jit, static_argnames=("check_resample",))(
+    _update_step_impl)
+
+
+def _update_step_eager(model, resampler, state, outcome, eps,
+                       resample_thresh, zero_weight_thresh,
+                       check_resample=True):
+    """Eager (untraced) twin of :func:`_update_step_impl` for host-side
+    models whose ``likelihood`` runs outside XLA (e.g.
+    ``DirectViewParallelizedModel`` dispatching to an engine pool). Control
+    flow uses concrete Python branches instead of ``lax.cond``."""
+    n = state.weights.shape[0]
+    ell = _single_likelihood(model, state.locations, outcome, eps)
+    hyp = state.weights * jnp.asarray(ell)
+    norm = jnp.sum(hyp)
+    was_zero = bool(norm <= zero_weight_thresh)
+    if was_zero:
+        new_w = jnp.full_like(state.weights, 1.0 / n)
+    else:
+        new_w = hyp / jnp.maximum(norm, EPS)
+    log_total = state.log_total_likelihood + jnp.log(jnp.maximum(norm, EPS))
+
+    key = state.key
+    locs = state.locations
+    if _is_time_dep(model):
+        key, sub = jax.random.split(key)
+        locs = model.update_timestep(sub, locs, eps)[:, :, 0]
+
+    ess = 1.0 / jnp.sum(new_w * new_w)
+    do_resample = bool(check_resample) and bool(ess <= resample_thresh * n)
+    if do_resample:
+        key, sub = jax.random.split(key)
+        new_w, locs = resampler(model, sub, new_w, locs)
+
+    new_state = SMCState(
+        weights=new_w,
+        locations=locs,
+        key=key,
+        resample_count=state.resample_count + int(do_resample),
+        just_resampled=jnp.asarray(do_resample),
+        log_total_likelihood=log_total,
+        min_n_ess=jnp.minimum(state.min_n_ess, ess),
+        zero_weight_count=state.zero_weight_count + int(was_zero),
+    )
+    return new_state, norm, jnp.asarray(was_zero)
 
 
 @partial(jax.jit, static_argnames=("resample_interval", "check_resample"))
@@ -458,7 +506,12 @@ class SMCUpdater:
         if n_expparams(eps) != 1:
             eps = expparams_at(eps, 0)
         outcome_arr = jnp.atleast_1d(jnp.asarray(outcome))[:1]
-        new_state, norm, was_zero = _update_step(
+        # Host-side models (e.g. DirectViewParallelizedModel dispatching to
+        # an engine pool) cannot be traced; run the step eagerly for them.
+        step_fn = (_update_step_eager
+                   if getattr(self.model, "host_only", False)
+                   else _update_step)
+        new_state, norm, was_zero = step_fn(
             self.model, self.resampler, self._state, outcome_arr[0], eps,
             self.resample_thresh, self.zero_weight_thresh,
             check_resample=bool(check_for_resample))
@@ -476,6 +529,14 @@ class SMCUpdater:
         """
         eps = self.model.canonicalize_expparams(expparams)
         outcomes = jnp.atleast_1d(jnp.asarray(outcomes))
+        if getattr(self.model, "host_only", False):
+            # eager per-step loop for untraceable host-side models
+            norms = []
+            for i in range(outcomes.shape[0]):
+                self.update(outcomes[i], expparams_at(eps, i),
+                            check_for_resample=(i % max(resample_interval, 1)
+                                                == resample_interval - 1))
+            return jnp.asarray(self.normalization_record[-outcomes.shape[0]:])
         new_state, norms = _batch_update(
             self.model, self.resampler, self._state, outcomes, eps,
             self.resample_thresh, self.zero_weight_thresh,

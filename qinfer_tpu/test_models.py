@@ -206,7 +206,7 @@ class NDieModel(FiniteOutcomeModel):
     Reference parity: ``src/qinfer/test_models.py::NDieModel(n)``.
     """
 
-    def __init__(self, n=6, threshold=1e-7):
+    def __init__(self, n=6, threshold=1e-5):
         super().__init__()
         self.n = int(n)
         self.threshold = float(threshold)

@@ -1,0 +1,143 @@
+"""Heuristic and experiment-designer tests.
+
+Reference parity: ``heuristics.py::PGH`` behavior (t = 1/separation,
+inversion field set from a posterior sample) and
+``expdesign.py::ExperimentDesigner.design_expparams_field``.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qinfer_tpu as q
+
+
+def make_updater(n_exp=25, seed=0):
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u = q.SMCUpdater(model, 1000, prior, seed=seed)
+    key = jax.random.key(seed + 7)
+    for k in range(n_exp):
+        t = (9 / 8) ** k / 10
+        key, sk = jax.random.split(key)
+        o = model.simulate_experiment(
+            sk, jnp.array([[0.6]]), {"t": jnp.array([t])})
+        u.update(o, {"t": jnp.array([t])})
+    return u
+
+
+def test_pgh_time_scales_with_uncertainty():
+    """PGH's 1/||x1-x2|| rule: proposed times grow as the posterior
+    sharpens."""
+    u_wide = make_updater(n_exp=3)
+    u_narrow = make_updater(n_exp=40)
+    pgh_w = q.PGH(u_wide)
+    pgh_n = q.PGH(u_narrow)
+    # 1/separation is heavy-tailed: compare medians, not means
+    ts_wide = np.median([float(pgh_w()["t"][0]) for _ in range(30)])
+    ts_narrow = np.median([float(pgh_n()["t"][0]) for _ in range(30)])
+    assert ts_narrow > 5 * ts_wide
+
+
+def test_pgh_inversion_field():
+    model = q.SimpleInversionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u = q.SMCUpdater(model, 500, prior, seed=0)
+    pgh = q.PGH(u, inv_field="w_")
+    eps = pgh()
+    assert "t" in eps and "w_" in eps
+    assert 0.0 <= float(eps["w_"][0]) <= 1.0
+
+
+def test_pgh_other_fields():
+    u = make_updater(n_exp=5)
+    pgh = q.PGH(u, other_fields={"foo": 3.0})
+    eps = pgh()
+    assert float(eps["foo"][0]) == 3.0
+
+
+def test_exp_sparse_heuristic():
+    u = make_updater(n_exp=1)
+    h = q.ExpSparseHeuristic(u, scale=0.5, base=2.0)
+    assert np.isclose(float(h(0)["t"][0]), 0.5)
+    assert np.isclose(float(h(3)["t"][0]), 4.0)
+
+
+def test_pgh_drives_convergence():
+    """Full adaptive PGH loop beats the same budget of too-short fixed
+    experiments."""
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    perf, extra = q.perf_testing.perf_test(
+        model, 1000, prior, 40, q.PGH, seed=12)
+    assert perf["loss"][-1] < 1e-3
+    assert perf["loss"][-1] < perf["loss"][0]
+
+
+def test_designer_grid_improves_risk():
+    u = make_updater(n_exp=20)
+    designer = q.ExperimentDesigner(u)
+    guess = {"t": jnp.array([0.01])}  # bad guess: nearly no information
+    best = designer.design_expparams_field(guess, "t")
+    r_guess = float(u.bayes_risk({"t": jnp.array([0.01])})[0])
+    r_best = float(u.bayes_risk({"t": best["t"]})[0])
+    assert r_best <= r_guess
+
+
+def test_designer_nm_runs():
+    u = make_updater(n_exp=20)
+    designer = q.ExperimentDesigner(
+        u, opt_algo=q.OptimizationAlgorithms.NM)
+    best = designer.design_expparams_field(
+        {"t": jnp.array([5.0])}, "t", maxiter=10)
+    assert np.isfinite(float(best["t"][0]))
+
+
+def test_designer_heuristic_guess():
+    u = make_updater(n_exp=20)
+    designer = q.ExperimentDesigner(u)
+    best = designer.design_expparams_field(q.PGH(u), "t")
+    assert float(best["t"][0]) > 0
+
+
+def test_designer_store_guess():
+    u = make_updater(n_exp=20)
+    designer = q.ExperimentDesigner(u)
+    b1 = designer.design_expparams_field(
+        {"t": jnp.array([1.0])}, "t", store_guess=True)
+    b2 = designer.design_expparams_field(
+        {"t": jnp.array([1.0])}, "t", store_guess=True)
+    assert np.isfinite(float(b2["t"][0]))
+
+
+def test_perf_test_multiple_serial_and_injected_apply():
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    res = q.perf_testing.perf_test_multiple(
+        3, model, 400, prior, 10, q.ExpSparseHeuristic, seed=5)
+    assert res.shape == (3, 10)
+    assert np.all(res["elapsed_time"] > 0)
+
+    calls = []
+
+    def apply(f, *args):
+        calls.append(args)
+        return f(*args)
+
+    res2 = q.perf_testing.perf_test_multiple(
+        2, model, 400, prior, 5, q.ExpSparseHeuristic, apply=apply, seed=5)
+    assert len(calls) == 2
+    assert res2.shape == (2, 5)
+
+
+def test_perf_test_scan_matches_host_loop_statistically():
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u, rec = q.perf_testing.perf_test_scan(
+        model, 1000, prior, 50, seed=3)
+    assert float(rec["loss"][-1]) < 1e-2
+    assert rec["est"].shape == (50, 1)
+    # final committed state matches the record tail
+    np.testing.assert_allclose(
+        np.asarray(u.est_mean()), np.asarray(rec["est"][-1]), atol=1e-6)

@@ -1,0 +1,150 @@
+"""Resampler tests. Reference parity: Liu-West behavior checks from
+``src/qinfer/tests`` (moment preservation, bootstrap degeneration,
+validity postselection)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import qinfer_tpu as q
+from qinfer_tpu.resamplers import (
+    LiuWestResampler,
+    systematic_ancestors,
+    multinomial_ancestors,
+)
+from qinfer_tpu.utils import weighted_moments
+
+
+def _cloud(key, n=4000, d=2):
+    x = jax.random.normal(key, (n, d)) @ jnp.array([[1.0, 0.3], [0.0, 0.5]])
+    x = x + jnp.array([1.0, -2.0])
+    logw = -0.5 * jnp.sum(x ** 2, axis=1) * 0.1
+    w = jnp.exp(logw)
+    return w / w.sum(), x
+
+
+def test_systematic_ancestors_unbiased(key):
+    w = jnp.array([0.1, 0.2, 0.3, 0.4])
+    anc = systematic_ancestors(key, w, n_out=100_000)
+    counts = np.bincount(np.asarray(anc), minlength=4) / 100_000
+    np.testing.assert_allclose(counts, np.asarray(w), atol=0.01)
+
+
+def test_multinomial_ancestors_unbiased(key):
+    w = jnp.array([0.7, 0.1, 0.1, 0.1])
+    anc = multinomial_ancestors(key, w, n_out=100_000)
+    counts = np.bincount(np.asarray(anc), minlength=4) / 100_000
+    np.testing.assert_allclose(counts, np.asarray(w), atol=0.01)
+
+
+def test_liu_west_preserves_moments(key):
+    """Liu-West with shrinkage preserves the weighted mean and covariance in
+    expectation (the defining property of the a/h shrinkage choice)."""
+    k1, k2 = jax.random.split(key)
+    w, x = _cloud(k1)
+    model = q.SimplePrecessionModel()  # validity: omega >= 0 (2d: unused col)
+
+    class Free(q.Model):
+        def __init__(self):
+            super().__init__()
+
+        @property
+        def n_modelparams(self):
+            return 2
+
+        @property
+        def expparams_dtype(self):
+            return [("t", "float32")]
+
+        def n_outcomes(self, expparams=None):
+            return 2
+
+        def are_models_valid(self, mps):
+            return jnp.ones(jnp.atleast_2d(mps).shape[0], dtype=bool)
+
+        def likelihood(self, outcomes, mps, eps):
+            raise NotImplementedError
+
+    mu0, cov0 = weighted_moments(w, x)
+    rs = LiuWestResampler(a=0.98)
+    new_w, new_x = rs(Free(), k2, w, x)
+    mu1, cov1 = weighted_moments(new_w, new_x)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=0.1)
+    np.testing.assert_allclose(np.asarray(cov1), np.asarray(cov0),
+                               rtol=0.25, atol=0.05)
+    np.testing.assert_allclose(np.asarray(new_w), 1.0 / len(w), atol=1e-8)
+
+
+def test_liu_west_bootstrap_degenerate(key):
+    """a=1 (h=0) must reduce to plain resampling: every output location is
+    one of the inputs."""
+    k1, k2 = jax.random.split(key)
+    w, x = _cloud(k1, n=500)
+    model = q.SimplePrecessionModel()
+
+    class Free(q.Model):
+        def __init__(self):
+            super().__init__()
+
+        @property
+        def n_modelparams(self):
+            return 2
+
+        @property
+        def expparams_dtype(self):
+            return [("t", "float32")]
+
+        def n_outcomes(self, expparams=None):
+            return 2
+
+        def are_models_valid(self, mps):
+            return jnp.ones(jnp.atleast_2d(mps).shape[0], dtype=bool)
+
+        def likelihood(self, outcomes, mps, eps):
+            raise NotImplementedError
+
+    rs = LiuWestResampler(a=1.0, postselect=False)
+    _, new_x = rs(Free(), k2, w, x)
+    x_np = np.asarray(x)
+    new_np = np.asarray(new_x)
+    # each resampled point equals some original point
+    from scipy.spatial import cKDTree
+
+    dist, _ = cKDTree(x_np).query(new_np)
+    assert dist.max() < 1e-5
+
+
+def test_liu_west_respects_validity(key):
+    """With a constrained model, all resampled particles must be valid."""
+    k1, k2 = jax.random.split(key)
+    model = q.SimplePrecessionModel(min_freq=0.0)
+    # cloud hugging the boundary omega >= 0
+    x = jnp.abs(jax.random.normal(k1, (2000, 1))) * 0.01
+    w = jnp.full((2000,), 1 / 2000)
+    rs = LiuWestResampler(a=0.9, maxiter=10)
+    _, new_x = rs(model, k2, w, x)
+    valid = np.asarray(model.are_models_valid(new_x))
+    assert valid.all()
+
+
+def test_liu_west_multinomial_kind(key):
+    k1, k2 = jax.random.split(key)
+    w, x = _cloud(k1, n=1000)
+    model = q.MultiCosineModel(2)
+    rs = LiuWestResampler(a=0.98, kind="multinomial")
+    new_w, new_x = rs(model, k2, jnp.abs(x[:, :1].ravel()) /
+                      jnp.sum(jnp.abs(x[:, :1])), jnp.abs(x))
+    assert new_x.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(new_x)))
+
+
+def test_liu_west_canonicalizes(key):
+    """Resampled multi-cos particles come out sorted (canonical form)."""
+    k1, k2 = jax.random.split(key)
+    model = q.MultiCosineModel(2)
+    x = jax.random.uniform(k1, (500, 2))
+    w = jnp.full((500,), 1 / 500)
+    rs = LiuWestResampler(a=0.95)
+    _, new_x = rs(model, k2, w, x)
+    new_np = np.asarray(new_x)
+    assert np.all(new_np[:, 0] <= new_np[:, 1] + 1e-6)

@@ -113,3 +113,8 @@ from .expdesign import ExperimentDesigner, OptimizationAlgorithms  # noqa: E402
 from .perf_testing import perf_test, perf_test_multiple  # noqa: E402
 from .simple_est import simple_est_prec, simple_est_rb, load_data  # noqa: E402
 from .parallel import ParticleMesh, make_particle_sharding  # noqa: E402
+from .checkpoint import save_updater, load_updater  # noqa: E402
+from . import tomography  # noqa: E402
+from . import ops  # noqa: E402
+from . import perf_testing  # noqa: E402
+from ._due import due, Doi, BibTeX  # noqa: E402

@@ -1,0 +1,125 @@
+"""Engine checkpoint / resume.
+
+Reference parity: the reference has **no checkpoint subsystem** — users
+pickle the updater or re-seed from a ``ParticleDistribution`` (SURVEY.md
+§5). This module is the promised "strict superset": the engine state is an
+explicit pytree (:class:`~qinfer_tpu.smc.SMCState`), so checkpointing is a
+plain array serialization, restorable into a fresh updater on any device
+topology (resharding happens automatically on ``device_put``).
+
+Two formats:
+* ``save_updater`` / ``load_updater`` — single-file ``.npz`` (no extra
+  deps; host-side).
+* ``save_updater_orbax`` / ``load_updater_orbax`` — orbax-checkpoint
+  directories when available (async, multi-host friendly).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .smc import SMCState
+
+__all__ = [
+    "state_to_arrays",
+    "arrays_to_state",
+    "save_updater",
+    "load_updater",
+    "save_updater_orbax",
+    "load_updater_orbax",
+]
+
+
+def state_to_arrays(state):
+    """Flatten an :class:`SMCState` to a dict of NumPy arrays (PRNG key
+    exported via ``jax.random.key_data``)."""
+    out = {k: np.asarray(v) for k, v in state._asdict().items()
+           if k != "key"}
+    out["key"] = np.asarray(jax.random.key_data(state.key))
+    return out
+
+
+def arrays_to_state(arrays, sharding=None):
+    """Rebuild an :class:`SMCState` from :func:`state_to_arrays` output."""
+    def put(x, s=None):
+        x = jnp.asarray(x)
+        return jax.device_put(x, s) if s is not None else x
+
+    loc_sharding = None
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        loc_sharding = NamedSharding(
+            sharding.mesh, P(sharding.spec[0], None))
+    return SMCState(
+        weights=put(arrays["weights"], sharding),
+        locations=put(arrays["locations"], loc_sharding),
+        key=jax.random.wrap_key_data(jnp.asarray(arrays["key"])),
+        resample_count=put(arrays["resample_count"]),
+        just_resampled=put(arrays["just_resampled"]),
+        log_total_likelihood=put(arrays["log_total_likelihood"]),
+        min_n_ess=put(arrays["min_n_ess"]),
+        zero_weight_count=put(arrays["zero_weight_count"]),
+    )
+
+
+def save_updater(path, updater):
+    """Checkpoint an updater's full inference state (ensemble + records) to
+    one ``.npz`` file."""
+    arrays = state_to_arrays(updater.state)
+    arrays["__data_record"] = np.asarray(
+        [np.asarray(o, dtype=np.float64).ravel()[0]
+         for o in updater.data_record], dtype=np.float64)
+    arrays["__normalization_record"] = np.asarray(
+        updater.normalization_record, dtype=np.float64)
+    np.savez(path, **arrays)
+
+
+def load_updater(path, updater):
+    """Restore state saved by :func:`save_updater` into an existing updater
+    (which supplies model/prior/resampler config). Returns the updater."""
+    loaded = dict(np.load(path))
+    data_record = loaded.pop("__data_record")
+    norm_record = loaded.pop("__normalization_record")
+    updater.state = arrays_to_state(loaded, sharding=updater.sharding)
+    updater.data_record = list(data_record)
+    updater.normalization_record = list(norm_record)
+    return updater
+
+
+def save_updater_orbax(path, updater):
+    """Orbax-checkpoint variant (async-capable, multi-host)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    arrays = state_to_arrays(updater.state)
+    ckptr.save(path, arrays, force=True)
+    ckptr.wait_until_finished()
+    meta = {
+        "data_record": [float(np.asarray(o, dtype=np.float64).ravel()[0])
+                        for o in updater.data_record],
+        "normalization_record": [float(x)
+                                 for x in updater.normalization_record],
+    }
+    with open(str(path) + ".meta.json", "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_updater_orbax(path, updater):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    arrays = ckptr.restore(path)
+    updater.state = arrays_to_state(arrays, sharding=updater.sharding)
+    try:
+        with open(str(path) + ".meta.json") as fh:
+            meta = json.load(fh)
+        updater.data_record = list(meta["data_record"])
+        updater.normalization_record = list(meta["normalization_record"])
+    except FileNotFoundError:
+        pass
+    return updater

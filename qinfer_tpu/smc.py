@@ -915,7 +915,10 @@ class SMCUpdaterBCRB(SMCUpdater):
                 "SMCUpdaterBCRB requires a DifferentiableModel")
         super().__init__(model, n_particles, prior, **kwargs)
         self.adaptive = bool(adaptive)
-        d = model.n_modelparams
+        # Non-adaptive BCRB averages Fisher information over the PRIOR
+        # ensemble for every experiment (reference semantics); snapshot it.
+        self._initial_weights = self._state.weights
+        self._initial_locations = self._state.locations
         if initial_bim is None:
             self._current_bim = np.asarray(self._prior_bim(), dtype=np.float64)
         else:
@@ -950,9 +953,13 @@ class SMCUpdaterBCRB(SMCUpdater):
 
     def update(self, outcome, expparams, check_for_resample=True):
         eps = self.model.canonicalize_expparams(expparams)
-        fi = self.model.fisher_information(
-            self._state.locations, eps)  # (d, d, n, n_e)
-        w = self._state.weights
+        if self.adaptive:
+            w = self._state.weights
+            locs = self._state.locations
+        else:
+            w = self._initial_weights
+            locs = self._initial_locations
+        fi = self.model.fisher_information(locs, eps)  # (d, d, n, n_e)
         expected_fi = np.asarray(
             jnp.einsum("ijnE,n->ij", fi[:, :, :, :1], w))
         self._current_bim = self._current_bim + expected_fi

@@ -1,0 +1,180 @@
+"""Hermitian operator bases for tomography.
+
+Reference parity: ``src/qinfer/tomography/bases.py`` — ``TomographyBasis``
+(an array of Hermitian basis operators with ``state_to_modelparams`` /
+``modelparams_to_state`` giving flat real-vector coordinates) and the
+constructors ``pauli_basis``, ``gell_mann_basis``, ``tensor_product_basis``.
+
+Convention (matching the reference): bases are orthonormal under the
+Hilbert-Schmidt inner product ``⟨A, B⟩ = Tr(A† B)``, with the FIRST element
+proportional to the identity (``I/√d``), so that a unit-trace state has
+fixed first coordinate ``1/√d`` and the remaining ``d²−1`` coordinates are
+the free model parameters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .._pytree import Module
+
+__all__ = [
+    "TomographyBasis",
+    "pauli_basis",
+    "gell_mann_basis",
+    "tensor_product_basis",
+]
+
+
+class TomographyBasis(Module):
+    """An orthonormal Hermitian operator basis.
+
+    :param data: complex array ``(n_ops, d, d)`` of Hermitian operators,
+        orthonormal under Hilbert-Schmidt; ``data[0]`` must be ``I/√d``.
+    :param dims: subsystem dimension list (e.g. ``[2, 2]`` for two qubits).
+    :param labels: operator names for display.
+
+    Reference parity: ``tomography/bases.py::TomographyBasis``.
+    """
+
+    def __init__(self, data, dims, labels=None):
+        data = jnp.asarray(data, dtype=jnp.complex64)
+        self.data = data
+        self.dims = list(int(d) for d in dims)
+        self.labels = list(labels) if labels is not None else [
+            f"B{i}" for i in range(data.shape[0])]
+
+    @property
+    def dim(self):
+        """Total Hilbert-space dimension."""
+        return int(np.prod(self.dims))
+
+    @property
+    def n_ops(self):
+        return self.data.shape[0]
+
+    def __len__(self):
+        return self.n_ops
+
+    def __getitem__(self, idx):
+        return self.data[idx]
+
+    # -- coordinates -------------------------------------------------------
+
+    def state_to_modelparams(self, rho):
+        """Flat real coordinates of a (batch of) d×d Hermitian matrices:
+        ``x_i = Tr(B_i ρ)`` (real by Hermiticity), shape ``(..., n_ops)``.
+
+        Reference parity: ``TomographyBasis.state_to_modelparams``.
+        """
+        rho = jnp.asarray(rho, dtype=jnp.complex64)
+        return jnp.real(jnp.einsum("iab,...ba->...i", self.data, rho))
+
+    def modelparams_to_state(self, x):
+        """Inverse: coordinates ``(..., n_ops)`` to matrices
+        ``(..., d, d)``.
+
+        Reference parity: ``TomographyBasis.modelparams_to_state``.
+        """
+        x = jnp.asarray(x)
+        return jnp.einsum("...i,iab->...ab",
+                          x.astype(jnp.complex64), self.data)
+
+    def covariance_mtx_to_superop(self, cov):
+        """Lift a coordinate covariance matrix to a superoperator on
+        operators (host-side helper for plotting; reference
+        ``TomographyBasis.covariance_mtx_to_superop``)."""
+        cov = jnp.asarray(cov, dtype=jnp.complex64)
+        return jnp.einsum("ij,iab,jcd->abcd", cov, self.data, self.data)
+
+    def __repr__(self):
+        return (f"<TomographyBasis dims={self.dims} "
+                f"n_ops={self.n_ops} labels={self.labels[:4]}...>")
+
+
+def _pauli_matrices():
+    I = np.eye(2, dtype=np.complex64)
+    X = np.array([[0, 1], [1, 0]], dtype=np.complex64)
+    Y = np.array([[0, -1j], [1j, 0]], dtype=np.complex64)
+    Z = np.array([[1, 0], [0, -1]], dtype=np.complex64)
+    return [I, X, Y, Z]
+
+
+def pauli_basis(nq=1):
+    """Normalized Pauli basis on ``nq`` qubits: all tensor products of
+    {I, X, Y, Z}/√2, identity first.
+
+    Reference parity: ``tomography/bases.py::pauli_basis``.
+    """
+    import itertools
+
+    paulis = _pauli_matrices()
+    names = ["I", "X", "Y", "Z"]
+    ops, labels = [], []
+    for combo in itertools.product(range(4), repeat=nq):
+        op = np.array([[1.0]], dtype=np.complex64)
+        for c in combo:
+            op = np.kron(op, paulis[c])
+        ops.append(op / np.sqrt(2.0 ** nq))
+        labels.append("".join(names[c] for c in combo))
+    return TomographyBasis(np.stack(ops), [2] * nq, labels)
+
+
+def gell_mann_basis(dim):
+    """Normalized generalized Gell-Mann basis for one ``dim``-level system,
+    identity first.
+
+    Reference parity: ``tomography/bases.py::gell_mann_basis``.
+    """
+    ops = [np.eye(dim, dtype=np.complex64) / np.sqrt(dim)]
+    labels = ["I"]
+    # symmetric
+    for i in range(dim):
+        for j in range(i + 1, dim):
+            m = np.zeros((dim, dim), dtype=np.complex64)
+            m[i, j] = m[j, i] = 1.0 / np.sqrt(2.0)
+            ops.append(m)
+            labels.append(f"S{i}{j}")
+    # antisymmetric
+    for i in range(dim):
+        for j in range(i + 1, dim):
+            m = np.zeros((dim, dim), dtype=np.complex64)
+            m[i, j] = -1j / np.sqrt(2.0)
+            m[j, i] = 1j / np.sqrt(2.0)
+            ops.append(m)
+            labels.append(f"A{i}{j}")
+    # diagonal
+    for k in range(1, dim):
+        m = np.zeros((dim, dim), dtype=np.complex64)
+        for i in range(k):
+            m[i, i] = 1.0
+        m[k, k] = -float(k)
+        m /= np.sqrt(k * (k + 1))
+        ops.append(m)
+        labels.append(f"D{k}")
+    return TomographyBasis(np.stack(ops), [dim], labels)
+
+
+def tensor_product_basis(*bases):
+    """Tensor product of operator bases (identity-first ordering is NOT
+    preserved in general; the combined identity is re-sorted to index 0).
+
+    Reference parity: ``tomography/bases.py::tensor_product_basis``.
+    """
+    import itertools
+
+    datas = [np.asarray(b.data) for b in bases]
+    dims = sum((b.dims for b in bases), [])
+    ops, labels = [], []
+    for combo in itertools.product(*[range(d.shape[0]) for d in datas]):
+        op = np.array([[1.0]], dtype=np.complex64)
+        lab = []
+        for b_idx, o_idx in enumerate(combo):
+            op = np.kron(op, datas[b_idx][o_idx])
+            lab.append(bases[b_idx].labels[o_idx])
+        ops.append(op)
+        labels.append("⊗".join(lab))
+    ops = np.stack(ops)
+    # move the identity-product (all-zero combo) to the front
+    return TomographyBasis(ops, dims, labels)

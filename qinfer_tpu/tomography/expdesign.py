@@ -1,0 +1,195 @@
+"""Measurement heuristics for tomography.
+
+Reference parity: ``src/qinfer/tomography/expdesign.py`` —
+``RandomPauliHeuristic``, ``RandomStabilizerStateHeuristic``,
+``ProductHeuristic``, ``BestOfKMetaheuristic`` (SURVEY.md §2 #11).
+
+Measurement effects are expressed as coordinate vectors in the model's
+basis (the ``'meas'`` expparams field), so proposals are plain arrays and
+compose with the jitted engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..heuristics import Heuristic
+
+__all__ = [
+    "RandomPauliHeuristic",
+    "RandomStabilizerStateHeuristic",
+    "ProductHeuristic",
+    "BestOfKMetaheuristic",
+]
+
+
+def _projector_coords(basis, vecs):
+    """Coordinates of rank-1 projectors |v⟩⟨v| in ``basis`` for a batch of
+    kets ``vecs`` (m, d)."""
+    vecs = jnp.asarray(vecs, dtype=jnp.complex64)
+    projs = jnp.einsum("ma,mb->mab", vecs, vecs.conj())
+    return basis.state_to_modelparams(projs)
+
+
+class RandomPauliHeuristic(Heuristic):
+    """Measure a uniformly random (non-identity) Pauli eigenprojector.
+
+    Reference parity: ``tomography/expdesign.py::RandomPauliHeuristic``.
+    """
+
+    def __init__(self, updater, other_fields=None):
+        super().__init__(updater)
+        self.other_fields = dict(other_fields or {})
+        basis = updater.model.basis
+        nq = len(basis.dims)
+        if any(d != 2 for d in basis.dims):
+            raise ValueError("RandomPauliHeuristic requires qubit systems")
+        # Precompute +1-eigenprojector coordinates of every non-identity
+        # Pauli string: P₊ = (I + σ)/2 ↦ coords.
+        d = basis.dim
+        eye_coords = np.zeros(basis.n_ops)
+        eye_coords[0] = np.sqrt(d)  # coords of identity: Tr(B_0 I) = √d
+        sigma_coords = np.sqrt(d) * np.eye(basis.n_ops)  # Tr(B_i B_j)=δ → σ=B_i·√?
+        # Coordinates of the normalized basis op B_i itself are e_i; a Pauli
+        # string σ = √d · B_i (since B_i = σ/√d), so:
+        self._proj_coords = jnp.asarray(
+            0.5 * (eye_coords[None, :] + np.sqrt(d) * np.eye(basis.n_ops))[1:],
+            dtype=jnp.float32)  # (n_ops-1, n_ops)
+
+    def propose(self, key, weights, locations, idx_exp):
+        n_choices = self._proj_coords.shape[0]
+        pick = jax.random.randint(key, (), 0, n_choices)
+        eps = {"meas": self._proj_coords[pick][None, :]}
+        for fname, val in self.other_fields.items():
+            eps[fname] = jnp.atleast_1d(jnp.asarray(val))
+        return eps
+
+
+# single-qubit stabilizer states: eigenstates of X, Y, Z
+_STABILIZER_KETS = np.array([
+    [1, 0],                       # |0⟩  (+Z)
+    [0, 1],                       # |1⟩  (−Z)
+    [1 / np.sqrt(2), 1 / np.sqrt(2)],        # |+⟩ (+X)
+    [1 / np.sqrt(2), -1 / np.sqrt(2)],       # |−⟩ (−X)
+    [1 / np.sqrt(2), 1j / np.sqrt(2)],       # |+i⟩ (+Y)
+    [1 / np.sqrt(2), -1j / np.sqrt(2)],      # |−i⟩ (−Y)
+], dtype=np.complex64)
+
+
+class RandomStabilizerStateHeuristic(Heuristic):
+    """Measure the projector onto a random product of single-qubit
+    stabilizer states.
+
+    Reference parity:
+    ``tomography/expdesign.py::RandomStabilizerStateHeuristic``.
+    """
+
+    def __init__(self, updater, other_fields=None):
+        super().__init__(updater)
+        self.other_fields = dict(other_fields or {})
+        basis = updater.model.basis
+        if any(d != 2 for d in basis.dims):
+            raise ValueError(
+                "RandomStabilizerStateHeuristic requires qubit systems")
+        self.nq = len(basis.dims)
+        self.basis = basis
+
+    def propose(self, key, weights, locations, idx_exp):
+        keys = jax.random.split(key, self.nq)
+        ket = jnp.ones((1,), dtype=jnp.complex64)
+        for k in keys:
+            pick = jax.random.randint(k, (), 0, 6)
+            ket = jnp.kron(ket, jnp.asarray(_STABILIZER_KETS)[pick])
+        coords = _projector_coords(self.basis, ket[None, :])[0]
+        eps = {"meas": coords.astype(jnp.float32)[None, :]}
+        for fname, val in self.other_fields.items():
+            eps[fname] = jnp.atleast_1d(jnp.asarray(val))
+        return eps
+
+
+class ProductHeuristic(Heuristic):
+    """Tensor-product meta-heuristic: run one sub-heuristic per subsystem
+    and measure the product effect.
+
+    Reference parity: ``tomography/expdesign.py::ProductHeuristic`` —
+    constructed from per-subsystem heuristic classes.
+    """
+
+    def __init__(self, updater, basis, sub_heuristic_classes,
+                 sub_updaters=None, other_fields=None):
+        super().__init__(updater)
+        self.basis = basis
+        self.other_fields = dict(other_fields or {})
+        subs = sub_updaters if sub_updaters is not None else \
+            [updater] * len(sub_heuristic_classes)
+        self.sub_heuristics = [
+            cls(u) for cls, u in zip(sub_heuristic_classes, subs)]
+
+    def propose(self, key, weights, locations, idx_exp):
+        keys = jax.random.split(key, len(self.sub_heuristics))
+        # each sub-heuristic proposes a 'meas' in ITS basis; combine by
+        # reconstructing the operators and taking the kron
+        ops = []
+        for h, k in zip(self.sub_heuristics, keys):
+            sub_eps = h.propose(k, weights, locations, idx_exp)
+            sub_basis = h.updater.model.basis
+            ops.append(sub_basis.modelparams_to_state(
+                sub_eps["meas"][0]))
+        op = ops[0]
+        for o in ops[1:]:
+            op = jnp.kron(op, o)
+        coords = self.basis.state_to_modelparams(op[None])[0]
+        eps = {"meas": coords.astype(jnp.float32)[None, :]}
+        for fname, val in self.other_fields.items():
+            eps[fname] = jnp.atleast_1d(jnp.asarray(val))
+        return eps
+
+
+class BestOfKMetaheuristic(Heuristic):
+    """Draw ``k`` candidate measurements from a base heuristic and keep the
+    one with the best adaptivity score (max information gain or min Bayes
+    risk) — scored in ONE batched engine call.
+
+    Reference parity: ``tomography/expdesign.py::BestOfKMetaheuristic``.
+    """
+
+    def __init__(self, updater, base_heuristic, k=8, score="information_gain",
+                 other_fields=None):
+        super().__init__(updater)
+        self.base_heuristic = base_heuristic
+        self.k = int(k)
+        if score not in ("information_gain", "bayes_risk"):
+            raise ValueError("score must be information_gain or bayes_risk")
+        self.score = score
+        self.other_fields = dict(other_fields or {})
+
+    def __call__(self, idx_exp=0):
+        # batched host-level scoring (the engine call is one fused XLA
+        # reduction over particles × outcomes × k candidates)
+        import jax as _jax
+
+        st = self._updater.state
+        key, *keys = _jax.random.split(st.key, self.k + 1)
+        self._updater.state = st._replace(key=key)
+        cands = [self.base_heuristic.propose(
+            kk, st.weights, st.locations, jnp.asarray(idx_exp))
+            for kk in keys]
+        meas = jnp.concatenate([c["meas"] for c in cands], axis=0)
+        eps = {"meas": meas}
+        for fname, val in self.other_fields.items():
+            eps[fname] = jnp.broadcast_to(
+                jnp.atleast_1d(jnp.asarray(val)), (self.k,))
+        if self.score == "information_gain":
+            scores = self._updater.expected_information_gain(eps)
+            best = int(jnp.argmax(scores))
+        else:
+            scores = self._updater.bayes_risk(eps)
+            best = int(jnp.argmin(scores))
+        return {k_: v[best:best + 1] for k_, v in eps.items()}
+
+    def propose(self, key, weights, locations, idx_exp):
+        raise NotImplementedError(
+            "BestOfKMetaheuristic scores candidates against the updater "
+            "posterior; use the host __call__ form")

@@ -1,0 +1,159 @@
+"""Tomography likelihood models.
+
+Reference parity: ``src/qinfer/tomography/models.py`` —
+``TomographyModel(basis, allow_subnormalized)`` (modelparams = free real
+expansion coefficients of ρ with the trace component fixed; expparams
+``[('meas', float, dim²)]`` = measurement effect in the same basis;
+likelihood Pr(0) = Tr(Eρ) = coordinate dot product; validity = ρ ⪰ 0 via
+eigenvalues) and ``DiffusiveTomographyModel`` (adds a diffusion expparam +
+``update_timestep``).
+
+TPU-native: the Born rule is ONE matvec over the particle batch (MXU
+territory at 5·10⁵ particles), and positivity checks are batched ``eigh`` —
+no QuTiP objects anywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..abstract_model import DifferentiableModel, FiniteOutcomeModel, \
+    n_expparams
+from ..config import EPS
+
+__all__ = ["TomographyModel", "DiffusiveTomographyModel"]
+
+
+class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
+    """Two-outcome state tomography in a fixed Hermitian operator basis.
+
+    Reference parity: ``tomography/models.py::TomographyModel``.
+
+    :param basis: a :class:`~qinfer_tpu.tomography.bases.TomographyBasis`.
+    :param bool allow_subnormalized: accept Tr ρ < 1 states as valid.
+    :param float psd_tol: eigenvalue tolerance for the positivity check.
+    """
+
+    def __init__(self, basis, allow_subnormalized=False, psd_tol=1e-5):
+        super().__init__()
+        self.basis = basis
+        self.allow_subnormalized = bool(allow_subnormalized)
+        self.psd_tol = float(psd_tol)
+
+    @property
+    def dim(self):
+        return self.basis.dim
+
+    @property
+    def n_modelparams(self):
+        return self.basis.n_ops - 1
+
+    @property
+    def modelparam_names(self):
+        return list(self.basis.labels[1:])
+
+    @property
+    def expparams_dtype(self):
+        return [("meas", "float32", self.basis.n_ops)]
+
+    def n_outcomes(self, expparams=None):
+        return 2
+
+    # -- state reconstruction ---------------------------------------------
+
+    def _full_coords(self, modelparams):
+        """Prepend the fixed trace coordinate 1/√d."""
+        modelparams = jnp.atleast_2d(modelparams)
+        n = modelparams.shape[0]
+        tr_coord = jnp.full((n, 1), 1.0 / jnp.sqrt(float(self.dim)),
+                            dtype=modelparams.dtype)
+        return jnp.concatenate([tr_coord, modelparams], axis=1)
+
+    def modelparams_to_states(self, modelparams):
+        """(n, d, d) density matrices for a particle batch."""
+        return self.basis.modelparams_to_state(
+            self._full_coords(modelparams))
+
+    def states_to_modelparams(self, rhos):
+        return self.basis.state_to_modelparams(rhos)[..., 1:]
+
+    # -- Model contract ----------------------------------------------------
+
+    def are_models_valid(self, modelparams):
+        rhos = self.modelparams_to_states(modelparams)
+        evals = jnp.linalg.eigvalsh(rhos)
+        psd = jnp.all(evals >= -self.psd_tol, axis=-1)
+        if self.allow_subnormalized:
+            return psd
+        return psd  # trace is fixed by construction
+
+    def canonicalize(self, modelparams):
+        """Project onto the PSD cone: clip negative eigenvalues and
+        renormalize the trace (the reference's canonicalization for
+        tomography; SURVEY.md §7 hard part 2)."""
+        modelparams = jnp.atleast_2d(modelparams)
+        rhos = self.modelparams_to_states(modelparams)
+        evals, evecs = jnp.linalg.eigh(rhos)
+        evals = jnp.clip(evals, 0.0, None)
+        tr = jnp.sum(evals, axis=-1, keepdims=True)
+        evals = evals / jnp.clip(tr, EPS, None)
+        rhos = jnp.einsum("nab,nb,ncb->nac", evecs,
+                          evals.astype(rhos.dtype), evecs.conj())
+        return self.states_to_modelparams(rhos).astype(modelparams.dtype)
+
+    def likelihood(self, outcomes, modelparams, expparams):
+        """Born rule: Pr(0 | ρ; E) = Tr(Eρ) = e·x (coordinate dot product,
+        one matmul over particles × experiments)."""
+        self._bump("_call_count")
+        x = self._full_coords(jnp.atleast_2d(modelparams))  # (n_m, d²)
+        eps = self.canonicalize_expparams(expparams)
+        meas = jnp.atleast_2d(eps["meas"])  # (n_e, d²)
+        pr0 = jnp.clip(x @ meas.T, 0.0, 1.0)  # (n_m, n_e)
+        return self.pr0_to_likelihood_array(outcomes, pr0)
+
+    # -- conveniences ------------------------------------------------------
+
+    def fidelity_with(self, modelparams, sigma):
+        """Uhlmann fidelity F(ρ, σ) of a particle batch against a fixed
+        state σ (host-convenience; batched eigh)."""
+        rhos = self.modelparams_to_states(modelparams)
+        sig = jnp.asarray(sigma, dtype=rhos.dtype)
+        # F = (Tr sqrt(sqrt(σ) ρ sqrt(σ)))²
+        es, vs = jnp.linalg.eigh(sig)
+        sqrt_sig = (vs * jnp.sqrt(jnp.clip(es, 0, None)).astype(
+            vs.dtype)) @ vs.conj().T
+        M = jnp.einsum("ab,nbc,cd->nad", sqrt_sig, rhos, sqrt_sig)
+        ev = jnp.linalg.eigvalsh(M)
+        return jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0, None)), axis=-1) ** 2
+
+
+class DiffusiveTomographyModel(TomographyModel):
+    """Tomography of a state undergoing diffusion between measurements:
+    expparams gain a ``t`` field and ``update_timestep`` applies Gaussian
+    coordinate diffusion of strength ``diffusion_rate·√t``, re-projected
+    onto the PSD cone.
+
+    Reference parity: ``tomography/models.py::DiffusiveTomographyModel``.
+    """
+
+    def __init__(self, basis, diffusion_rate=0.01, **kwargs):
+        super().__init__(basis, **kwargs)
+        self.diffusion_rate = float(diffusion_rate)
+
+    @property
+    def expparams_dtype(self):
+        return [("meas", "float32", self.basis.n_ops), ("t", "float32")]
+
+    def update_timestep(self, key, modelparams, expparams):
+        modelparams = jnp.atleast_2d(modelparams)
+        eps = self.canonicalize_expparams(expparams)
+        t = jnp.atleast_1d(eps.get("t", jnp.ones(1)))
+        n_e = t.shape[0]
+        n_m, d = modelparams.shape
+        steps = jax.random.normal(key, (n_m, d, n_e))
+        scale = self.diffusion_rate * jnp.sqrt(jnp.clip(t, 0.0, None))
+        moved = modelparams[:, :, None] + steps * scale[None, None, :]
+        # project each experiment's moved cloud back to physical states
+        outs = [self.canonicalize(moved[:, :, j]) for j in range(n_e)]
+        return jnp.stack(outs, axis=2)

@@ -1,0 +1,103 @@
+"""Checkpoint/resume subsystem tests (beyond-reference addition; SURVEY.md
+§5 notes the reference has no checkpoint subsystem)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qinfer_tpu as q
+
+
+def _run_updater(seed=0, n=800, steps=15):
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u = q.SMCUpdater(model, n, prior, seed=seed)
+    key = jax.random.key(seed + 50)
+    for k in range(steps):
+        t = (9 / 8) ** k / 5
+        key, sk = jax.random.split(key)
+        o = model.simulate_experiment(sk, jnp.array([[0.5]]),
+                                      {"t": jnp.array([t])})
+        u.update(o, {"t": jnp.array([t])})
+    return u
+
+
+def test_npz_roundtrip(tmp_path):
+    u = _run_updater()
+    path = tmp_path / "ckpt.npz"
+    q.save_updater(path, u)
+    u2 = q.SMCUpdater(q.SimplePrecessionModel(), 800,
+                      q.UniformDistribution([[0, 1]]), seed=99)
+    q.load_updater(path, u2)
+    np.testing.assert_allclose(np.asarray(u2.particle_weights),
+                               np.asarray(u.particle_weights))
+    np.testing.assert_allclose(np.asarray(u2.particle_locations),
+                               np.asarray(u.particle_locations))
+    assert u2.resample_count == u.resample_count
+    assert len(u2.data_record) == len(u.data_record)
+    assert np.isclose(u2.log_total_likelihood, u.log_total_likelihood)
+
+
+def test_resume_continues_identically(tmp_path):
+    """Saving, restoring, then updating must match never having saved."""
+    u = _run_updater(seed=3)
+    path = tmp_path / "c.npz"
+    q.save_updater(path, u)
+    u2 = q.SMCUpdater(q.SimplePrecessionModel(), 800,
+                      q.UniformDistribution([[0, 1]]), seed=1)
+    q.load_updater(path, u2)
+    eps = {"t": jnp.array([2.0])}
+    u.update(0, eps)
+    u2.update(0, eps)
+    np.testing.assert_allclose(np.asarray(u2.est_mean()),
+                               np.asarray(u.est_mean()), atol=1e-7)
+
+
+def test_restore_onto_sharded_mesh(tmp_path):
+    """A single-device checkpoint restores onto an 8-device mesh."""
+    from qinfer_tpu.parallel import ParticleMesh
+
+    u = _run_updater(n=800)
+    path = tmp_path / "c.npz"
+    q.save_updater(path, u)
+    pm = ParticleMesh()
+    u2 = q.SMCUpdater(q.SimplePrecessionModel(), 800,
+                      q.UniformDistribution([[0, 1]]), seed=1,
+                      sharding=pm.particle_sharding)
+    q.load_updater(path, u2)
+    assert len(u2.particle_weights.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(u2.est_mean()),
+                               np.asarray(u.est_mean()), atol=1e-6)
+    u2.update(1, {"t": jnp.array([1.0])})
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    u = _run_updater()
+    path = tmp_path / "orbax_ckpt"
+    q.checkpoint.save_updater_orbax(path, u)
+    u2 = q.SMCUpdater(q.SimplePrecessionModel(), 800,
+                      q.UniformDistribution([[0, 1]]), seed=5)
+    q.checkpoint.load_updater_orbax(path, u2)
+    np.testing.assert_allclose(np.asarray(u2.est_mean()),
+                               np.asarray(u.est_mean()), atol=1e-6)
+
+
+def test_bcrb_adaptive_vs_prior_ensembles():
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    ua = q.SMCUpdaterBCRB(model, 400, prior, adaptive=True, seed=0)
+    un = q.SMCUpdaterBCRB(model, 400, prior, adaptive=False, seed=0)
+    key = jax.random.key(1)
+    for k in range(10):
+        t = float(k + 1)
+        key, sk = jax.random.split(key)
+        o = model.simulate_experiment(sk, jnp.array([[0.5]]),
+                                      {"t": jnp.array([t])})
+        ua.update(o, {"t": jnp.array([t])})
+        un.update(o, {"t": jnp.array([t])})
+    # for precession F = t² independent of ω, so both agree analytically
+    expect = sum((k + 1.0) ** 2 for k in range(10))
+    assert np.isclose(un.current_bim[0, 0], expect, rtol=1e-3)
+    assert np.isclose(ua.current_bim[0, 0], expect, rtol=1e-3)

@@ -1,0 +1,241 @@
+"""Tomography tests.
+
+Reference parity: ``src/qinfer/tests/test_tomography.py`` — upstream gates
+these on QuTiP; this rebuild is QuTiP-free so they always run (SURVEY.md §7
+"Tomography without QuTiP").
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qinfer_tpu as q
+from qinfer_tpu import tomography as tomo
+
+
+@pytest.fixture
+def qubit_basis():
+    return tomo.pauli_basis(1)
+
+
+def test_pauli_basis_orthonormal(qubit_basis):
+    data = np.asarray(qubit_basis.data)
+    gram = np.einsum("iab,jba->ij", data, data)
+    np.testing.assert_allclose(gram, np.eye(4), atol=1e-6)
+    # identity first
+    np.testing.assert_allclose(data[0], np.eye(2) / np.sqrt(2), atol=1e-6)
+
+
+def test_pauli_basis_two_qubits():
+    b = tomo.pauli_basis(2)
+    assert b.n_ops == 16 and b.dim == 4
+    data = np.asarray(b.data)
+    gram = np.einsum("iab,jba->ij", data, data)
+    np.testing.assert_allclose(gram, np.eye(16), atol=1e-5)
+
+
+def test_gell_mann_basis_orthonormal():
+    for dim in (2, 3, 4):
+        b = tomo.gell_mann_basis(dim)
+        assert b.n_ops == dim * dim
+        data = np.asarray(b.data)
+        gram = np.einsum("iab,jba->ij", data, data)
+        np.testing.assert_allclose(gram, np.eye(dim * dim), atol=1e-5)
+        # all Hermitian
+        np.testing.assert_allclose(
+            data, data.conj().transpose(0, 2, 1), atol=1e-6)
+
+
+def test_tensor_product_basis():
+    b1 = tomo.pauli_basis(1)
+    b = tomo.tensor_product_basis(b1, b1)
+    assert b.n_ops == 16 and b.dim == 4
+    data = np.asarray(b.data)
+    gram = np.einsum("iab,jba->ij", data, data)
+    np.testing.assert_allclose(gram, np.eye(16), atol=1e-5)
+
+
+def test_state_coords_roundtrip(qubit_basis):
+    rho = np.array([[0.7, 0.2 + 0.1j], [0.2 - 0.1j, 0.3]],
+                   dtype=np.complex64)
+    x = qubit_basis.state_to_modelparams(rho)
+    rho2 = np.asarray(qubit_basis.modelparams_to_state(x))
+    np.testing.assert_allclose(rho, rho2, atol=1e-6)
+    assert np.isclose(float(x[0]), 1 / np.sqrt(2), atol=1e-6)  # unit trace
+
+
+def test_ginibre_prior_valid(qubit_basis, key):
+    model = tomo.TomographyModel(qubit_basis)
+    prior = tomo.GinibreDistribution(qubit_basis)
+    s = prior.sample(key, 500)
+    assert s.shape == (500, 3)
+    assert bool(np.asarray(model.are_models_valid(s)).all())
+
+
+def test_ginibre_rank1_pure(qubit_basis, key):
+    prior = tomo.GinibreDistribution(qubit_basis, rank=1)
+    model = tomo.TomographyModel(qubit_basis)
+    s = prior.sample(key, 200)
+    rhos = np.asarray(model.modelparams_to_states(s))
+    purities = np.einsum("nab,nba->n", rhos, rhos).real
+    np.testing.assert_allclose(purities, 1.0, atol=1e-4)
+
+
+def test_redit_prior_real(qubit_basis, key):
+    prior = tomo.GinibreReditDistribution(qubit_basis, rank=2)
+    s = np.asarray(prior.sample(key, 200))
+    np.testing.assert_allclose(s[:, 1], 0.0, atol=1e-6)  # ⟨Y⟩ = 0
+
+
+def test_bcsz_choi_states_are_physical(key):
+    b2 = tomo.pauli_basis(2)
+    dist = tomo.BCSZChoiDistribution(b2)
+    model = tomo.TomographyModel(b2)
+    s = dist.sample(key, 50)
+    assert bool(np.asarray(model.are_models_valid(s)).all())
+    # trace preservation: partial trace over system = I/d
+    rhos = np.asarray(model.modelparams_to_states(s)).reshape(50, 2, 2, 2, 2)
+    pt = np.einsum("nakbk->nab", rhos)
+    np.testing.assert_allclose(
+        pt, np.broadcast_to(np.eye(2) / 2, (50, 2, 2)), atol=1e-4)
+
+
+def test_gadfli_concentrates_near_fiducial(qubit_basis, key):
+    fid = np.array([[1.0, 0.0], [0.0, 0.0]], dtype=np.complex64)
+    near = tomo.GADFLIDistribution(qubit_basis, fid, alpha=9.0, beta=1.0)
+    far = tomo.GinibreDistribution(qubit_basis)
+    model = tomo.TomographyModel(qubit_basis)
+    sn = near.sample(key, 300)
+    sf = far.sample(key, 300)
+    f_near = np.asarray(model.fidelity_with(sn, jnp.asarray(fid))).mean()
+    f_far = np.asarray(model.fidelity_with(sf, jnp.asarray(fid))).mean()
+    assert f_near > f_far + 0.1
+
+
+def test_likelihood_is_born_rule(qubit_basis, key):
+    model = tomo.TomographyModel(qubit_basis)
+    prior = tomo.GinibreDistribution(qubit_basis)
+    mps = prior.sample(key, 10)
+    rhos = np.asarray(model.modelparams_to_states(mps))
+    # measure |0><0|
+    proj = np.array([[1, 0], [0, 0]], dtype=np.complex64)
+    meas = qubit_basis.state_to_modelparams(proj)
+    L = np.asarray(model.likelihood(
+        jnp.array([0]), mps, {"meas": jnp.asarray(meas)[None, :]}))
+    born = np.einsum("ab,nba->n", proj, rhos).real
+    np.testing.assert_allclose(L[0, :, 0], born, atol=1e-5)
+
+
+def test_canonicalize_projects_to_psd(qubit_basis):
+    model = tomo.TomographyModel(qubit_basis)
+    # an unphysical coordinate vector (Bloch length > 1)
+    bad = jnp.array([[1.2, 0.0, 0.0]]) / jnp.sqrt(2.0)
+    assert not bool(model.are_models_valid(bad)[0])
+    fixed = model.canonicalize(bad)
+    assert bool(model.are_models_valid(fixed)[0])
+
+
+def test_tomography_smc_recovers_state(qubit_basis):
+    model = tomo.TomographyModel(qubit_basis)
+    prior = tomo.GinibreDistribution(qubit_basis)
+    true_rho = np.array([[0.85, 0.3], [0.3, 0.15]], dtype=np.complex64)
+    true_mps = model.states_to_modelparams(jnp.asarray(true_rho)[None])
+    u = q.SMCUpdater(model, 1500, prior, seed=0)
+    heur = tomo.RandomPauliHeuristic(u)
+    key = jax.random.key(5)
+    for k in range(80):
+        eps = heur()
+        key, sk = jax.random.split(key)
+        o = model.simulate_experiment(sk, true_mps, eps)
+        u.update(o, eps)
+    F = float(model.fidelity_with(
+        u.est_mean()[None], jnp.asarray(true_rho))[0])
+    assert F > 0.95
+
+
+def test_random_pauli_heuristic_effects_valid(qubit_basis):
+    model = tomo.TomographyModel(qubit_basis)
+    prior = tomo.GinibreDistribution(qubit_basis)
+    u = q.SMCUpdater(model, 100, prior, seed=0)
+    heur = tomo.RandomPauliHeuristic(u)
+    for _ in range(10):
+        eps = heur()
+        # effect must be a projector: 0 <= Tr(E rho) <= 1 for all states
+        L = np.asarray(model.likelihood(
+            jnp.array([0]), u.particle_locations, eps))
+        assert L.min() >= -1e-5 and L.max() <= 1 + 1e-5
+
+
+def test_stabilizer_heuristic(qubit_basis):
+    model = tomo.TomographyModel(qubit_basis)
+    prior = tomo.GinibreDistribution(qubit_basis)
+    u = q.SMCUpdater(model, 100, prior, seed=0)
+    heur = tomo.RandomStabilizerStateHeuristic(u)
+    eps = heur()
+    # a stabilizer projector has trace 1: coords[0] = 1/sqrt(2)
+    assert np.isclose(float(eps["meas"][0, 0]), 1 / np.sqrt(2), atol=1e-5)
+
+
+def test_product_heuristic_two_qubits():
+    b1 = tomo.pauli_basis(1)
+    b2 = tomo.pauli_basis(2)
+    model2 = tomo.TomographyModel(b2)
+    model1 = tomo.TomographyModel(b1)
+    prior2 = tomo.GinibreDistribution(b2)
+    prior1 = tomo.GinibreDistribution(b1)
+    u2 = q.SMCUpdater(model2, 100, prior2, seed=0)
+    u1 = q.SMCUpdater(model1, 100, prior1, seed=0)
+    heur = tomo.ProductHeuristic(
+        u2, b2, [tomo.RandomStabilizerStateHeuristic] * 2,
+        sub_updaters=[u1, u1])
+    eps = heur()
+    assert eps["meas"].shape == (1, 16)
+    L = np.asarray(model2.likelihood(
+        jnp.array([0]), u2.particle_locations, eps))
+    assert L.min() >= -1e-4 and L.max() <= 1 + 1e-4
+
+
+def test_best_of_k_beats_or_matches_random(qubit_basis):
+    model = tomo.TomographyModel(qubit_basis)
+    prior = tomo.GinibreDistribution(qubit_basis)
+    u = q.SMCUpdater(model, 500, prior, seed=0)
+    base = tomo.RandomStabilizerStateHeuristic(u)
+    bok = tomo.BestOfKMetaheuristic(u, base, k=6)
+    eps_best = bok()
+    ig_best = float(u.expected_information_gain(eps_best)[0])
+    igs_random = [float(u.expected_information_gain(base())[0])
+                  for _ in range(6)]
+    assert ig_best >= np.mean(igs_random) - 1e-6
+
+
+def test_diffusive_model_timestep(qubit_basis, key):
+    model = tomo.DiffusiveTomographyModel(qubit_basis, diffusion_rate=0.05)
+    prior = tomo.GinibreDistribution(qubit_basis)
+    mps = prior.sample(key, 100)
+    eps = {"meas": jnp.zeros((1, 4)), "t": jnp.array([2.0])}
+    moved = model.update_timestep(key, mps, eps)
+    assert moved.shape == (100, 3, 1)
+    assert bool(np.asarray(
+        model.are_models_valid(moved[:, :, 0])).all())
+    # particles actually moved
+    assert float(jnp.abs(moved[:, :, 0] - mps).max()) > 1e-4
+
+
+def test_500k_config_smoke(qubit_basis):
+    """BASELINE config 4 at reduced scale: constrained resampling keeps a
+    larger ensemble physical through updates."""
+    model = tomo.TomographyModel(qubit_basis)
+    prior = tomo.GinibreDistribution(qubit_basis)
+    u = q.SMCUpdater(model, 20_000, prior, seed=0,
+                     resampler=q.LiuWestResampler(a=0.98, maxiter=10))
+    heur = tomo.RandomPauliHeuristic(u)
+    true_mps = prior.sample(jax.random.key(42), 1)
+    key = jax.random.key(9)
+    for k in range(30):
+        eps = heur()
+        key, sk = jax.random.split(key)
+        o = model.simulate_experiment(sk, true_mps, eps)
+        u.update(o, eps)
+    assert bool(np.asarray(
+        model.are_models_valid(u.particle_locations)).all())

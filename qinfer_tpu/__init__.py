@@ -106,6 +106,7 @@ from .derived_models import (  # noqa: E402
     MLEModel,
     RandomWalkModel,
     GaussianRandomWalkModel,
+    ReferencedPoissonModel,
 )
 from .rb import RandomizedBenchmarkingModel, p_to_F, F_to_p  # noqa: E402
 from .ale import ALEApproximateModel, binom_est_p, binom_est_error  # noqa: E402

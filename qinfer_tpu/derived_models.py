@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.scipy.special import gammaln
 
 from .abstract_model import (
     Model,
@@ -37,6 +38,7 @@ __all__ = [
     "MLEModel",
     "RandomWalkModel",
     "GaussianRandomWalkModel",
+    "ReferencedPoissonModel",
 ]
 
 
@@ -376,15 +378,17 @@ class RandomWalkModel(DerivedModel):
 
 
 class GaussianRandomWalkModel(RandomWalkModel):
-    """Gaussian random walk with fixed or diagonal covariance.
+    """Gaussian random walk with fixed or **learned** (co)variance.
 
-    Reference parity: ``derived_models.py::GaussianRandomWalkModel`` — here
-    the fixed-Σ variant (the learned-Σ variant of later upstream adds Σ
-    entries as model parameters and is out of scope for parity round 1;
-    tracked in docs/PARITY.md).
+    Reference parity: ``derived_models.py::GaussianRandomWalkModel`` — with
+    ``model_mu_sigma=True`` the walk scales become extra model parameters
+    (appended after the underlying ones, parameterized as log-σ for
+    positivity-free sampling), so the SMC *learns the diffusion rate* along
+    with the state; with the default they are fixed constants.
     """
 
-    def __init__(self, underlying_model, scale=0.01, diagonal=True):
+    def __init__(self, underlying_model, scale=0.01, diagonal=True,
+                 model_mu_sigma=False):
         from .distributions import MultivariateNormalDistribution
 
         d = underlying_model.n_modelparams
@@ -393,3 +397,192 @@ class GaussianRandomWalkModel(RandomWalkModel):
         step = MultivariateNormalDistribution(np.zeros(d), cov)
         super().__init__(underlying_model, step)
         self.diagonal = bool(diagonal)
+        self.model_mu_sigma = bool(model_mu_sigma)
+
+    # -- learned-sigma plumbing -------------------------------------------
+
+    @property
+    def _n_underlying(self):
+        # derived (not stored): survives pytree unflattening inside jit
+        return self.underlying_model.n_modelparams
+
+    @property
+    def n_modelparams(self):
+        base = self.underlying_model.n_modelparams
+        return base * 2 if self.model_mu_sigma else base
+
+    @property
+    def modelparam_names(self):
+        names = list(self.underlying_model.modelparam_names)
+        if self.model_mu_sigma:
+            names += [f"log_sigma_{n}" for n in
+                      self.underlying_model.modelparam_names]
+        return names
+
+    @property
+    def Q(self):
+        if not self.model_mu_sigma:
+            return self.underlying_model.Q
+        return jnp.concatenate([
+            self.underlying_model.Q,
+            jnp.zeros((self._n_underlying,))])
+
+    def are_models_valid(self, modelparams):
+        modelparams = jnp.atleast_2d(modelparams)
+        base = self.underlying_model.are_models_valid(
+            modelparams[:, :self._n_underlying])
+        return base  # log-sigma coordinates are unconstrained
+
+    def canonicalize(self, modelparams):
+        modelparams = jnp.atleast_2d(modelparams)
+        if not self.model_mu_sigma:
+            return self.underlying_model.canonicalize(modelparams)
+        head = self.underlying_model.canonicalize(
+            modelparams[:, :self._n_underlying])
+        return jnp.concatenate([head, modelparams[:, self._n_underlying:]],
+                               axis=1)
+
+    def likelihood(self, outcomes, modelparams, expparams):
+        modelparams = jnp.atleast_2d(modelparams)
+        return self.underlying_model.likelihood(
+            outcomes, modelparams[:, :self._n_underlying], expparams)
+
+    def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+        modelparams = jnp.atleast_2d(modelparams)
+        return self.underlying_model.simulate_experiment(
+            key, modelparams[:, :self._n_underlying], expparams,
+            repeat=repeat)
+
+    def update_timestep(self, key, modelparams, expparams):
+        modelparams = jnp.atleast_2d(modelparams)
+        if not self.model_mu_sigma:
+            return super().update_timestep(key, modelparams, expparams)
+        eps = self.canonicalize_expparams(expparams)
+        n_e = n_expparams(eps)
+        n_m = modelparams.shape[0]
+        d = self._n_underlying
+        sigma = jnp.exp(modelparams[:, d:])  # (n_m, d) learned per-particle
+        z = jax.random.normal(key, (n_m, d, n_e))
+        head = modelparams[:, :d, None] + z * sigma[:, :, None]
+        tail = jnp.broadcast_to(modelparams[:, d:, None], (n_m, d, n_e))
+        return jnp.concatenate([head, tail], axis=1)
+
+
+class ReferencedPoissonModel(DerivedModel):
+    """Poisson-count readout referenced to bright/dark calibration rates.
+
+    Wraps a two-outcome model: the observed datum is a Poisson count with
+    rate interpolating between a bright reference ``alpha`` and a dark
+    reference ``beta`` (both appended as model parameters):
+    ``rate = p·alpha + (1−p)·beta`` with ``p = Pr(0)`` of the underlying
+    model. Experiments carry a ``mode`` field — SIGNAL (0) probes the
+    underlying model, BRIGHT (1) / DARK (2) calibrate the references.
+
+    Reference parity: ``src/qinfer/derived_models.py::ReferencedPoissonModel``
+    [SURVEY.md marks this LOW-confidence/era-dependent; semantics here
+    follow the published ion-trap readout formulation the upstream class
+    implements].
+    """
+
+    SIGNAL, BRIGHT, DARK = 0, 1, 2
+
+    def __init__(self, underlying_model, max_count=512):
+        if underlying_model.n_outcomes(None) != 2:
+            raise ValueError(
+                "ReferencedPoissonModel requires a two-outcome model")
+        super().__init__(underlying_model)
+        self.max_count = int(max_count)
+
+    @property
+    def n_modelparams(self):
+        return self.underlying_model.n_modelparams + 2
+
+    @property
+    def modelparam_names(self):
+        return list(self.underlying_model.modelparam_names) + [
+            "alpha", "beta"]
+
+    @property
+    def expparams_dtype(self):
+        return list(self.underlying_model.expparams_dtype) + [
+            ("mode", "int32")]
+
+    @property
+    def is_n_outcomes_constant(self):
+        return True
+
+    def n_outcomes(self, expparams=None):
+        return self.max_count + 1
+
+    def domain(self, expparams=None):
+        return IntegerDomain(0, self.max_count)
+
+    def outcomes(self, expparams=None):
+        return jnp.arange(self.max_count + 1, dtype=jnp.int32)
+
+    def outcome_mask(self, expparams):
+        eps = self.canonicalize_expparams(expparams)
+        n_e = n_expparams(eps)
+        return jnp.ones((self.max_count + 1, n_e), dtype=bool)
+
+    @property
+    def Q(self):
+        return jnp.concatenate([
+            self.underlying_model.Q, jnp.zeros((2,))])
+
+    def are_models_valid(self, modelparams):
+        modelparams = jnp.atleast_2d(modelparams)
+        base = self.underlying_model.are_models_valid(modelparams[:, :-2])
+        alpha = modelparams[:, -2]
+        beta = modelparams[:, -1]
+        return base & (alpha >= beta) & (beta >= 0)
+
+    def _rates(self, modelparams, eps):
+        sub_eps = {k: v for k, v in eps.items() if k != "mode"}
+        mode = jnp.asarray(eps["mode"])  # (n_e,)
+        p = self.underlying_model.likelihood(
+            jnp.array([0]), modelparams[:, :-2], sub_eps)[0]  # (n_m, n_e)
+        alpha = modelparams[:, -2:-1]
+        beta = modelparams[:, -1:]
+        signal_rate = p * alpha + (1.0 - p) * beta
+        rate = jnp.where(
+            mode[None, :] == self.SIGNAL, signal_rate,
+            jnp.where(mode[None, :] == self.BRIGHT,
+                      jnp.broadcast_to(alpha, signal_rate.shape),
+                      jnp.broadcast_to(beta, signal_rate.shape)))
+        return jnp.clip(rate, EPS, None)
+
+    def likelihood(self, outcomes, modelparams, expparams):
+        self._bump("_call_count")
+        modelparams = jnp.atleast_2d(modelparams)
+        eps = self.canonicalize_expparams(expparams)
+        rate = self._rates(modelparams, eps)  # (n_m, n_e)
+        counts = jnp.atleast_1d(outcomes).astype(rate.dtype)
+        log_pmf = (counts[:, None, None] * jnp.log(rate)[None]
+                   - rate[None]
+                   - gammaln(counts + 1.0)[:, None, None])
+        return jnp.exp(log_pmf)
+
+    def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+        self._bump("_sim_count", int(repeat))
+        modelparams = jnp.atleast_2d(modelparams)
+        eps = self.canonicalize_expparams(expparams)
+        rate = self._rates(modelparams, eps)
+        draws = jax.random.poisson(
+            key, rate, (repeat,) + rate.shape).astype(jnp.int32)
+        draws = jnp.clip(draws, 0, self.max_count)
+        if repeat == 1:
+            draws = draws[0]
+        return draws
+
+    def update_timestep(self, key, modelparams, expparams):
+        eps = self.canonicalize_expparams(expparams)
+        sub_eps = {k: v for k, v in eps.items() if k != "mode"}
+        modelparams = jnp.atleast_2d(modelparams)
+        head = self.underlying_model.update_timestep(
+            key, modelparams[:, :-2], sub_eps)  # (n_m, d, n_e)
+        n_e = head.shape[2]
+        tail = jnp.broadcast_to(
+            modelparams[:, -2:, None],
+            (modelparams.shape[0], 2, n_e))
+        return jnp.concatenate([head, tail], axis=1)

@@ -54,17 +54,15 @@ def ancestor_multiplicities(weights, u):
 
 @jax.jit
 def systematic_resample_indices(key, weights):
-    """Ancestor indices (sorted) for systematic resampling: the TPU-native
-    CDF inversion described in the module docstring.
+    """Ancestor indices (sorted) for systematic resampling.
+
+    Delegates to the merge-rank CDF inversion in
+    :func:`qinfer_tpu.resamplers.systematic_ancestors` (one bitonic sort,
+    no searchsorted — see that docstring for the TPU cost analysis); the
+    stratified positions are ascending, so the result is already sorted.
 
     :return: (n,) int32 ancestor indices, sorted ascending.
     """
-    n = weights.shape[0]
-    u = jax.random.uniform(key, ())
-    m = ancestor_multiplicities(weights, u)
-    # positions of each output among ancestors: output j takes ancestor
-    # i = searchsorted(cumsum(m), j, side='right')
-    starts = jnp.cumsum(m)
-    return jnp.searchsorted(
-        starts, jnp.arange(n, dtype=starts.dtype), side="right"
-    ).astype(jnp.int32)
+    from ..resamplers import systematic_ancestors
+
+    return systematic_ancestors(key, weights)

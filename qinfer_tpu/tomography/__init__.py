@@ -21,7 +21,8 @@ from .distributions import (
     BCSZChoiDistribution,
     GADFLIDistribution,
 )
-from .models import TomographyModel, DiffusiveTomographyModel
+from .models import (TomographyModel, DiffusiveTomographyModel,
+                     ProcessTomographyModel)
 from .expdesign import (
     RandomPauliHeuristic,
     RandomStabilizerStateHeuristic,
@@ -41,6 +42,7 @@ __all__ = [
     "GADFLIDistribution",
     "TomographyModel",
     "DiffusiveTomographyModel",
+    "ProcessTomographyModel",
     "RandomPauliHeuristic",
     "RandomStabilizerStateHeuristic",
     "ProductHeuristic",

@@ -22,7 +22,8 @@ from ..abstract_model import DifferentiableModel, FiniteOutcomeModel, \
     n_expparams
 from ..config import EPS
 
-__all__ = ["TomographyModel", "DiffusiveTomographyModel"]
+__all__ = ["TomographyModel", "DiffusiveTomographyModel",
+           "ProcessTomographyModel"]
 
 
 class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
@@ -126,6 +127,79 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
         M = jnp.einsum("ab,nbc,cd->nad", sqrt_sig, rhos, sqrt_sig)
         ev = jnp.linalg.eigvalsh(M)
         return jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0, None)), axis=-1) ** 2
+
+
+class ProcessTomographyModel(TomographyModel):
+    """Quantum process tomography: the model parameters are the free
+    coordinates of a channel's **normalized Choi state** ρ_Λ = J(Λ)/d on
+    the doubled space; experiments prepare an input state and measure an
+    effect on the output.
+
+    Born rule: with J = d·ρ_Λ the Choi matrix,
+    ``Pr(0 | Λ; ρ_in, E) = Tr[E Λ(ρ_in)] = d · Tr[(ρ_inᵀ ⊗ E) ρ_Λ]`` —
+    still one coordinate dot product per (particle, experiment), with the
+    doubled-space effect assembled on the fly from the per-system ``prep``
+    and ``meas`` coordinate fields.
+
+    Reference parity: the process-tomography usage of
+    ``src/qinfer/tomography/models.py`` (Choi-state inference over a
+    :class:`~qinfer_tpu.tomography.distributions.BCSZChoiDistribution`
+    prior; SURVEY.md §2 #11 "state & process tomography").
+
+    :param doubled_basis: basis on the d² space (e.g. ``pauli_basis(2)``
+        for a single-qubit channel).
+    :param system_basis: basis on the d space (e.g. ``pauli_basis(1)``).
+    """
+
+    def __init__(self, doubled_basis, system_basis, **kwargs):
+        super().__init__(doubled_basis, **kwargs)
+        self.system_basis = system_basis
+        d = system_basis.dim
+        if doubled_basis.dim != d * d:
+            raise ValueError(
+                "doubled_basis must act on the square of system_basis's "
+                "dimension")
+        self.hilbert_dim = d
+
+    @property
+    def expparams_dtype(self):
+        n = self.system_basis.n_ops
+        return [("prep", "float32", n), ("meas", "float32", n)]
+
+    def _effect_coords(self, eps):
+        """Doubled-space coordinates of d·(ρ_inᵀ ⊗ E).
+
+        Column-vec Choi convention: J = Σ_{mn} |m⟩⟨n| ⊗ Λ(|m⟩⟨n|), so
+        Pr(E | ρ_in) = Tr[(ρ_inᵀ ⊗ E) J] and J = d·ρ_Λ.
+        """
+        prep = jnp.atleast_2d(eps["prep"])  # (n_e, d²) system coords
+        meas = jnp.atleast_2d(eps["meas"])
+        rho_in = self.system_basis.modelparams_to_state(prep)  # (n_e, d, d)
+        eff = self.system_basis.modelparams_to_state(meas)
+        d = self.hilbert_dim
+        rho_t = rho_in.transpose(0, 2, 1)  # batched transpose (no conj)
+        # batched kron: (A ⊗ B)_{(i b),(k a)} = A_ik B_ba
+        combined = jnp.einsum("nik,nba->nibka", rho_t, eff)
+        combined = combined.reshape(-1, d * d, d * d)
+        coords = self.basis.state_to_modelparams(combined)
+        return float(d) * coords  # (n_e, d⁴)
+
+    def likelihood(self, outcomes, modelparams, expparams):
+        self._bump("_call_count")
+        x = self._full_coords(jnp.atleast_2d(modelparams))
+        eps = self.canonicalize_expparams(expparams)
+        eff = self._effect_coords(eps)  # (n_e, n_ops)
+        pr0 = jnp.clip(x @ eff.T, 0.0, 1.0)
+        return self.pr0_to_likelihood_array(outcomes, pr0)
+
+    def apply_channel(self, modelparams, rho_in):
+        """Λ(ρ_in) for each particle: Tr₁[(ρ_inᵀ ⊗ I) J], i.e.
+        Λ(ρ)_{ab} = Σ_{ik} ρ_{ki} J[(k a), (i b)]."""
+        d = self.hilbert_dim
+        choi = self.modelparams_to_states(modelparams)  # (n, d², d²) ρ_Λ
+        J4 = d * choi.reshape(-1, d, d, d, d)  # [n, k, a, i, b]
+        rho = jnp.asarray(rho_in, dtype=J4.dtype)
+        return jnp.einsum("ki,nkaib->nab", rho, J4)
 
 
 class DiffusiveTomographyModel(TomographyModel):

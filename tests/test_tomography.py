@@ -239,3 +239,70 @@ def test_500k_config_smoke(qubit_basis):
         u.update(o, eps)
     assert bool(np.asarray(
         model.are_models_valid(u.particle_locations)).all())
+
+
+def test_process_tomography_identity_channel():
+    from qinfer_tpu.tomography.models import ProcessTomographyModel
+
+    b1 = tomo.pauli_basis(1)
+    b2 = tomo.pauli_basis(2)
+    m = ProcessTomographyModel(b2, b1)
+    # identity-channel Choi state
+    J = np.zeros((4, 4), dtype=np.complex64)
+    for mm in range(2):
+        for nn in range(2):
+            E_mn = np.zeros((2, 2), dtype=np.complex64)
+            E_mn[mm, nn] = 1
+            J += np.kron(E_mn, E_mn)
+    id_mps = m.states_to_modelparams(jnp.asarray(J / 2)[None])
+    assert bool(m.are_models_valid(id_mps)[0])
+    rho_in = np.array([[0.7, 0.2 + 0.1j], [0.2 - 0.1j, 0.3]],
+                      dtype=np.complex64)
+    out = np.asarray(m.apply_channel(id_mps, jnp.asarray(rho_in)))[0]
+    np.testing.assert_allclose(out, rho_in, atol=1e-5)
+    # Born rule through the likelihood
+    E = np.array([[1, 0], [0, 0]], dtype=np.complex64)
+    eps = {"prep": jnp.asarray(b1.state_to_modelparams(
+               jnp.asarray(rho_in)))[None, :],
+           "meas": jnp.asarray(b1.state_to_modelparams(
+               jnp.asarray(E)))[None, :]}
+    L = float(m.likelihood(jnp.array([0]), id_mps, eps)[0, 0, 0])
+    assert np.isclose(L, 0.7, atol=1e-4)
+
+
+def test_process_tomography_infers_depolarizing():
+    from qinfer_tpu.tomography.models import ProcessTomographyModel
+
+    b1 = tomo.pauli_basis(1)
+    b2 = tomo.pauli_basis(2)
+    m = ProcessTomographyModel(b2, b1)
+    J_id = np.zeros((4, 4), dtype=np.complex64)
+    for mm in range(2):
+        for nn in range(2):
+            E_mn = np.zeros((2, 2), dtype=np.complex64)
+            E_mn[mm, nn] = 1
+            J_id += np.kron(E_mn, E_mn)
+    p_dep = 0.3
+    J_dep = (1 - p_dep) * J_id + p_dep * np.kron(np.eye(2), np.eye(2) / 2)
+    true_mps = m.states_to_modelparams(jnp.asarray(J_dep / 2)[None])
+    prior = tomo.BCSZChoiDistribution(b2)
+    u = q.SMCUpdater(m, 3000, prior, seed=0)
+    kets = np.asarray(
+        [[1, 0], [0, 1],
+         [1 / np.sqrt(2), 1 / np.sqrt(2)],
+         [1 / np.sqrt(2), 1j / np.sqrt(2)]], dtype=np.complex64)
+    key = jax.random.key(7)
+    for k in range(120):
+        key, k1, k2, ks = jax.random.split(key, 4)
+        ket_in = kets[int(jax.random.randint(k1, (), 0, 4))]
+        ket_m = kets[int(jax.random.randint(k2, (), 0, 4))]
+        eps = {"prep": jnp.asarray(b1.state_to_modelparams(jnp.asarray(
+                   np.outer(ket_in, ket_in.conj()))))[None, :],
+               "meas": jnp.asarray(b1.state_to_modelparams(jnp.asarray(
+                   np.outer(ket_m, ket_m.conj()))))[None, :]}
+        o = m.simulate_experiment(ks, true_mps, eps)
+        u.update(o, eps)
+    F = float(m.fidelity_with(u.est_mean()[None], jnp.asarray(J_dep / 2))[0])
+    # 15-dim Choi-state posterior after 120 experiments: coarse but clearly
+    # converging (prior-mean fidelity is ~0.75)
+    assert F > 0.85

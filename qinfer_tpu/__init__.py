@@ -113,8 +113,15 @@ from .ale import ALEApproximateModel, binom_est_p, binom_est_error  # noqa: E402
 from .expdesign import ExperimentDesigner, OptimizationAlgorithms  # noqa: E402
 from .perf_testing import perf_test, perf_test_multiple  # noqa: E402
 from .simple_est import simple_est_prec, simple_est_rb, load_data  # noqa: E402
-from .parallel import ParticleMesh, make_particle_sharding  # noqa: E402
+from .parallel import (  # noqa: E402
+    ParticleMesh,
+    make_particle_sharding,
+    DirectViewParallelizedModel,
+)
+from .gpu_models import AcceleratedPrecessionModel  # noqa: E402
 from .checkpoint import save_updater, load_updater  # noqa: E402
+from . import checkpoint  # noqa: E402
+from .ipy import IPythonProgressBar  # noqa: E402
 from . import tomography  # noqa: E402
 from . import ops  # noqa: E402
 from . import perf_testing  # noqa: E402

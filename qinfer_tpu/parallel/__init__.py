@@ -19,10 +19,12 @@ from .mesh import (
     initialize_multihost,
 )
 from .directview import DirectViewParallelizedModel
+from .resample import DistributedLiuWestResampler
 
 __all__ = [
     "ParticleMesh",
     "make_particle_sharding",
     "initialize_multihost",
     "DirectViewParallelizedModel",
+    "DistributedLiuWestResampler",
 ]

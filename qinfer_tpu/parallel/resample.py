@@ -1,0 +1,181 @@
+"""Distributed (shard-local) Liu-West resampling.
+
+SURVEY.md §7 names distributed resampling the #1 hard part: categorical
+ancestry across shards without gathering 10⁷ particles to one place, and
+load-balancing when weight mass concentrates on one shard.
+
+The scheme here is **two-level systematic resampling** (cf. PAPERS.md,
+Murray et al., "Parallel resampling in the particle filter"):
+
+1. *Shard level*: treat the D shard weight-masses ``W_d`` as D
+   super-particles and draw a systematic allocation over them — each output
+   shard ``s`` gets an ancestor shard ``A_s`` (expected multiplicity
+   ``D · W_d``). Shards exchange whole fixed-size particle blocks along the
+   ring (``ppermute``), so communication is static-shaped and rides ICI.
+2. *Local level*: each shard systematically resamples its ``n/D`` slots
+   from the received block's local weights, then applies the Liu-West
+   shrinkage kernel with the **global** mean/covariance (computed via
+   ``psum`` partial moments).
+
+Expected copy count of particle i in shard d:
+``E[#shards with A=d] · (n/D) · w_i/W_d = (D W_d)(n/D)(w_i/W_d) = n w_i``
+— exactly unbiased, uniform output weights, and load-balanced by
+construction (every shard ends with n/D equally-weighted particles).
+
+The block exchange uses D ``ppermute`` rotation rounds (a source block may
+be needed by several destination shards, which a single permute cannot
+express). Traffic is ≤ n particles per device per resample — fine for
+slice-scale D; a log-depth doubling exchange is the planned refinement for
+pod-scale D.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .._pytree import Module
+from ..config import EPS
+from ..utils import sqrtm_psd
+
+__all__ = ["DistributedLiuWestResampler", "shard_systematic_ancestors"]
+
+
+def _local_systematic(u, weights, n_out):
+    """Systematic ancestors within one shard (small n: plain searchsorted
+    is fine here — no cross-shard data)."""
+    cdf = jnp.cumsum(weights)
+    cdf = cdf / jnp.maximum(cdf[-1], EPS)
+    positions = (jnp.arange(n_out, dtype=cdf.dtype) + u) / n_out
+    return jnp.clip(jnp.searchsorted(cdf, positions), 0,
+                    weights.shape[0] - 1)
+
+
+def shard_systematic_ancestors(u, shard_masses):
+    """Level-1: ancestor shard index for every output shard (systematic
+    over the D shard masses; D is tiny so this is replicated scalar work).
+    """
+    d = shard_masses.shape[0]
+    cdf = jnp.cumsum(shard_masses)
+    cdf = cdf / jnp.maximum(cdf[-1], EPS)
+    positions = (jnp.arange(d, dtype=cdf.dtype) + u) / d
+    return jnp.clip(jnp.searchsorted(cdf, positions), 0, d - 1)
+
+
+class DistributedLiuWestResampler(Module):
+    """Liu-West resampler that decomposes over a 1-D particle mesh.
+
+    Drop-in for :class:`~qinfer_tpu.resamplers.LiuWestResampler` when the
+    ensemble is sharded: same ``(model, key, weights, locations) ->
+    (weights, locations)`` signature, implemented as a ``shard_map`` over
+    the mesh with only psum/all_gather/ppermute collectives.
+
+    :param mesh: the :class:`jax.sharding.Mesh` (1-D) the ensemble lives on.
+    :param str axis_name: mesh axis name.
+    :param float a: Liu-West shrinkage (h = sqrt(1-a²)).
+    :param int maxiter: bounded validity-redraw rounds (masked, like the
+        single-device resampler).
+    """
+
+    def __init__(self, mesh, axis_name="particles", a=0.98, h=None,
+                 maxiter=10, zero_cov_comp=1e-10):
+        # jax.sharding.Mesh is hashable, so it rides in the pytree's static
+        # aux data and survives flatten/unflatten through jit.
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.a = float(a)
+        self.h = float(h) if h is not None else float(jnp.sqrt(1 - a ** 2))
+        self.maxiter = int(maxiter)
+        self.zero_cov_comp = float(zero_cov_comp)
+
+    def __call__(self, model, key, particle_weights, particle_locations):
+        axis = self.axis_name
+        mesh = self.mesh
+        n, dim = particle_locations.shape
+        n_dev = mesh.shape[axis]
+        a, h = self.a, self.h
+        maxiter = self.maxiter
+        zcc = self.zero_cov_comp
+
+        def kernel(key, w_loc, x_loc):
+            idx = jax.lax.axis_index(axis)
+            n_loc = w_loc.shape[0]
+
+            # --- global moments via psum partials --------------------------
+            total = jax.lax.psum(jnp.sum(w_loc), axis)
+            w_norm = w_loc / jnp.maximum(total, EPS)
+            mu = jax.lax.psum(w_norm @ x_loc, axis)
+            xc = x_loc - mu[None, :]
+            cov = jax.lax.psum((xc * w_norm[:, None]).T @ xc, axis)
+            cov = cov + zcc * jnp.eye(dim, dtype=cov.dtype)
+            L = jnp.linalg.cholesky(cov)
+            L = jax.lax.cond(
+                jnp.any(jnp.isnan(L)), lambda _: sqrtm_psd(cov),
+                lambda _: L, None)
+            S = L * h
+
+            # --- level 1: shard ancestry + ring block exchange -------------
+            k_shard, k_local, k_draw = jax.random.split(
+                jax.random.fold_in(key, 0), 3)
+            masses = jax.lax.all_gather(jnp.sum(w_norm), axis)  # (D,)
+            u1 = jax.random.uniform(k_shard, ())  # same key -> same on all
+            anc_shard = shard_systematic_ancestors(u1, masses)  # (D,)
+            my_anc = anc_shard[idx]
+
+            recv_w = w_norm
+            recv_x = x_loc
+            for r in range(1, n_dev):
+                perm = [(s, (s + r) % n_dev) for s in range(n_dev)]
+                rot_w = jax.lax.ppermute(w_norm, axis, perm)
+                rot_x = jax.lax.ppermute(x_loc, axis, perm)
+                src = (idx - r) % n_dev
+                take = my_anc == src
+                recv_w = jnp.where(take, rot_w, recv_w)
+                recv_x = jnp.where(take[None, None] if recv_x.ndim == 2
+                                   else take, rot_x, recv_x)
+
+            # --- level 2: local systematic over the received block ---------
+            u2 = jax.random.uniform(jax.random.fold_in(k_local, idx), ())
+            anc = _local_systematic(u2, recv_w, n_loc)
+            x_anc = recv_x[anc]
+            centers = a * x_anc + (1.0 - a) * mu[None, :]
+
+            def propose(k):
+                z = jax.random.normal(k, (n_loc, dim))
+                return centers + z @ S.T
+
+            k_draw = jax.random.fold_in(k_draw, idx)
+            new_x = propose(k_draw)
+            valid = model.are_models_valid(new_x)
+
+            def cond(carry):
+                _, cur_valid, _, it = carry
+                return (~jnp.all(cur_valid)) & (it < maxiter)
+
+            def body(carry):
+                cur_x, cur_valid, k, it = carry
+                k, sub = jax.random.split(k)
+                fresh = propose(sub)
+                fresh_valid = model.are_models_valid(fresh)
+                take = (~cur_valid) & fresh_valid
+                cur_x = jnp.where(take[:, None], fresh, cur_x)
+                return (cur_x, cur_valid | fresh_valid, k, it + 1)
+
+            new_x, valid, _, _ = jax.lax.while_loop(
+                cond, body, (new_x, valid, k_draw, jnp.asarray(0)))
+            new_x = jnp.where(valid[:, None], new_x, x_anc)
+            new_x = model.canonicalize(new_x)
+            new_w = jnp.full((n_loc,), 1.0 / n, dtype=w_loc.dtype)
+            return new_w, new_x
+
+        shard = P(axis)
+        shard2d = P(axis, None)
+        mapped = jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=(P(), shard, shard2d),
+            out_specs=(shard, shard2d),
+            check_vma=False)
+        return mapped(key, particle_weights, particle_locations)

@@ -60,6 +60,10 @@ class ALEApproximateModel(FiniteOutcomeModel):
     :param int max_samp: static cap on simulations (TPU fixed-shape budget).
     """
 
+    #: The engine threads a fresh per-step PRNG key into ``likelihood`` so
+    #: the Monte-Carlo estimate is re-drawn on every (scanned) update.
+    wants_likelihood_key = True
+
     def __init__(self, simulator, error_tol=1e-2, min_samp=1,
                  samp_step=10, est_hedge=0.509, adapt_hedge=0.509,
                  max_samp=None):

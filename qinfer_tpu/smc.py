@@ -89,10 +89,19 @@ class SMCState(NamedTuple):
 # Pure jitted engine functions
 # ---------------------------------------------------------------------------
 
-def _single_likelihood(model, locations, outcome, eps):
-    """Likelihood of ONE outcome under ONE experiment: (n_particles,)."""
+def _single_likelihood(model, locations, outcome, eps, key=None):
+    """Likelihood of ONE outcome under ONE experiment: (n_particles,).
+
+    Models that declare ``wants_likelihood_key = True`` (e.g.
+    :class:`~qinfer_tpu.ale.ALEApproximateModel`, whose likelihood is a
+    Monte-Carlo estimate) receive a per-step PRNG key so their noise is
+    fresh on every scanned step instead of frozen at trace time.
+    """
     outcome = jnp.atleast_1d(outcome)
-    L = model.likelihood(outcome, locations, eps)
+    if getattr(model, "wants_likelihood_key", False) and key is not None:
+        L = model.likelihood(outcome, locations, eps, key=key)
+    else:
+        L = model.likelihood(outcome, locations, eps)
     return L[0, :, 0]
 
 
@@ -111,7 +120,12 @@ def _update_step_impl(model, resampler, state, outcome, eps,
     Returns ``(new_state, normalization, was_zero)``.
     """
     n = state.weights.shape[0]
-    ell = _single_likelihood(model, state.locations, outcome, eps)
+    key = state.key
+    if getattr(model, "wants_likelihood_key", False):
+        key, k_like = jax.random.split(key)
+    else:
+        k_like = None
+    ell = _single_likelihood(model, state.locations, outcome, eps, k_like)
     hyp = state.weights * ell
     norm = jnp.sum(hyp)
     was_zero = norm <= zero_weight_thresh
@@ -119,7 +133,6 @@ def _update_step_impl(model, resampler, state, outcome, eps,
     new_w = jnp.where(was_zero, uniform, hyp / jnp.maximum(norm, EPS))
     log_total = state.log_total_likelihood + jnp.log(jnp.maximum(norm, EPS))
 
-    key = state.key
     locs = state.locations
     if _is_time_dep(model):
         key, sub = jax.random.split(key)
@@ -166,7 +179,13 @@ def _update_step_eager(model, resampler, state, outcome, eps,
     ``DirectViewParallelizedModel`` dispatching to an engine pool). Control
     flow uses concrete Python branches instead of ``lax.cond``."""
     n = state.weights.shape[0]
-    ell = _single_likelihood(model, state.locations, outcome, eps)
+    key0 = state.key
+    if getattr(model, "wants_likelihood_key", False):
+        key0, k_like = jax.random.split(key0)
+        state = state._replace(key=key0)
+    else:
+        k_like = None
+    ell = _single_likelihood(model, state.locations, outcome, eps, k_like)
     hyp = state.weights * jnp.asarray(ell)
     norm = jnp.sum(hyp)
     was_zero = bool(norm <= zero_weight_thresh)
@@ -217,7 +236,13 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
     def step(carry, inp):
         st = carry
         outcome, eps, idx = inp
-        ell = _single_likelihood(model, st.locations, outcome, eps)
+        key0 = st.key
+        if getattr(model, "wants_likelihood_key", False):
+            key0, k_like = jax.random.split(key0)
+            st = st._replace(key=key0)
+        else:
+            k_like = None
+        ell = _single_likelihood(model, st.locations, outcome, eps, k_like)
         hyp = st.weights * ell
         norm = jnp.sum(hyp)
         was_zero = norm <= zero_weight_thresh

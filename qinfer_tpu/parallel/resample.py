@@ -87,7 +87,7 @@ class DistributedLiuWestResampler(Module):
         self.mesh = mesh
         self.axis_name = axis_name
         self.a = float(a)
-        self.h = float(h) if h is not None else float(jnp.sqrt(1 - a ** 2))
+        self.h = float(h) if h is not None else __import__('math').sqrt(max(1.0 - a ** 2, 0.0))
         self.maxiter = int(maxiter)
         self.zero_cov_comp = float(zero_cov_comp)
 

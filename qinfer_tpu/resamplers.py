@@ -27,12 +27,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import math
+
 from ._pytree import Module
 from .config import EPS
 from .utils import weighted_moments, sqrtm_psd
 
 __all__ = ["Resampler", "LiuWestResampler", "systematic_ancestors",
-           "multinomial_ancestors"]
+           "systematic_resample_locations", "multinomial_ancestors"]
 
 
 def systematic_ancestors(key, weights, n_out=None):
@@ -67,6 +69,78 @@ def systematic_ancestors(key, weights, n_out=None):
     anc = jnp.zeros(n_out, dtype=jnp.int32).at[idx].set(
         cdf_count, mode="drop")
     return jnp.clip(anc, 0, n - 1)
+
+
+def systematic_resample_locations(key, weights, locations):
+    """Systematic resampling that produces the resampled particle
+    **locations directly**, with no random gather.
+
+    The merge-rank inversion (see :func:`systematic_ancestors`) sorts the
+    concatenated ``[cdf, positions]`` sequence. This variant carries the
+    particle coordinates through that same sort as payloads and
+    **backward-fills** them (reverse ``associative_scan``): each stratified
+    position slot picks up the coordinates of the first CDF entry at or
+    after it — exactly its systematic ancestor. A final scatter routes the
+    filled coordinates to their output slots.
+
+    All passes (sort, scan, scatter) are regular-access, so this avoids the
+    ``x[ancestors]`` random HBM gather (~20 ms at 2²¹ particles on TPU
+    v5e) that dominates the classic formulation after the sort. Best for
+    small ``d`` (the payload rides through the sort); the engine uses it
+    for ``d <= 4`` and falls back to gather above.
+
+    :return: ``(n, d)`` resampled locations (same law as
+        ``locations[systematic_ancestors(key, weights)]``).
+    """
+    n, d = locations.shape
+    u = jax.random.uniform(key, ())
+    cdf = jnp.cumsum(weights)
+    cdf = cdf / cdf[-1]
+    positions = (jnp.arange(n, dtype=cdf.dtype) + u) / n
+
+    # co-sorted operands (payloads move through the sort network — regular
+    # access, never an indexed gather):
+    #   keys     : [cdf, positions]
+    #   is_cdf   : marks cdf slots (stable sort keeps cdf before equal pos)
+    #   out_j    : each position's output slot (unused for cdf slots)
+    #   payload_k: particle coordinate columns (garbage for pos slots)
+    zeros_i = jnp.zeros((n,), dtype=jnp.int32)
+    operands = [
+        jnp.concatenate([cdf, positions]),
+        jnp.concatenate([jnp.ones((n,), jnp.int32), zeros_i]),
+        jnp.concatenate([zeros_i, jnp.arange(n, dtype=jnp.int32)]),
+    ] + [
+        jnp.concatenate([locations[:, k_col],
+                         jnp.zeros((n,), locations.dtype)])
+        for k_col in range(d)
+    ]
+    sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    is_cdf = sorted_ops[1] > 0
+    out_j = sorted_ops[2]
+    payload = jnp.stack(sorted_ops[3:], axis=1)  # (2n, d)
+
+    # backward fill: propagate the NEXT cdf slot's payload onto earlier
+    # position slots (each position's systematic ancestor is the first cdf
+    # entry at-or-after it).  Associative on (payload, flag) pairs.
+    def combine(a, b):
+        a_x, a_f = a
+        b_x, b_f = b
+        take_b = b_f[..., None] > 0
+        return jnp.where(take_b, b_x, a_x), jnp.maximum(a_f, b_f)
+
+    filled, _ = jax.lax.associative_scan(
+        combine, (payload, is_cdf.astype(jnp.int32)), reverse=True)
+
+    # route position slots' filled coords to their output index; cdf slots
+    # go to an out-of-bounds index and are dropped (NOT negative — those
+    # would wrap under JAX indexing)
+    out_idx = jnp.where(is_cdf, n, out_j)
+    out = jnp.zeros((n, d), dtype=locations.dtype).at[out_idx].set(
+        filled, mode="drop")
+    # Every position slot is guaranteed a fill: cdf[-1] is exactly 1.0
+    # (x/x) and every stratified position is < 1, so a cdf entry always
+    # sorts at-or-after it.
+    return out
 
 
 def multinomial_ancestors(key, weights, n_out=None):
@@ -111,7 +185,7 @@ class LiuWestResampler(Resampler):
                  postselect=True, zero_cov_comp=1e-10, kernel=None,
                  kind="systematic"):
         self.a = float(a)
-        self.h = float(h) if h is not None else float(jnp.sqrt(1.0 - a ** 2))
+        self.h = float(h) if h is not None else math.sqrt(max(1.0 - a ** 2, 0.0))
         self.maxiter = int(maxiter)
         self.debug = bool(debug)
         self.postselect = bool(postselect)
@@ -144,10 +218,13 @@ class LiuWestResampler(Resampler):
         S = L * self.h
 
         if self.kind == "systematic":
-            anc = systematic_ancestors(k_anc, w)
+            if d <= 4:
+                # gather-free path: coordinates ride through the sort
+                x_anc = systematic_resample_locations(k_anc, w, x)
+            else:
+                x_anc = x[systematic_ancestors(k_anc, w)]
         else:
-            anc = multinomial_ancestors(k_anc, w)
-        x_anc = x[anc]
+            x_anc = x[multinomial_ancestors(k_anc, w)]
         centers = self.a * x_anc + (1.0 - self.a) * mu[None, :]
 
         def propose(k):

@@ -24,7 +24,58 @@ __all__ = [
     "pauli_basis",
     "gell_mann_basis",
     "tensor_product_basis",
+    "hermitian_eigvalsh",
+    "hermitian_eigh_embedded",
+    "embed_hermitian",
+    "unembed_hermitian",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Complex-Hermitian eigensolves via real-symmetric embedding.
+#
+# The TPU backend (and notably the tunneled axon backend in this
+# environment) does not implement complex eigh. A complex Hermitian H maps
+# to the real symmetric embedding  E(H) = [[Re H, −Im H], [Im H, Re H]]
+# whose spectrum is that of H with every eigenvalue doubled, so all PSD
+# checks and eigenvalue-clipping projections run on real eigh — supported
+# on every backend — and map back exactly.
+# ---------------------------------------------------------------------------
+
+def embed_hermitian(rho):
+    """(..., d, d) complex Hermitian → (..., 2d, 2d) real symmetric."""
+    re = jnp.real(rho)
+    im = jnp.imag(rho)
+    top = jnp.concatenate([re, -im], axis=-1)
+    bot = jnp.concatenate([im, re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def unembed_hermitian(m, d):
+    """Inverse of :func:`embed_hermitian` (symmetrized block read-off)."""
+    re = 0.5 * (m[..., :d, :d] + m[..., d:, d:])
+    im = 0.5 * (m[..., d:, :d] - m[..., :d, d:])
+    return (re + 1j * im).astype(jnp.complex64)
+
+
+def hermitian_eigvalsh(rho):
+    """Eigenvalues of complex Hermitian matrices, shape (..., d), via the
+    real embedding (each eigenvalue appears twice in the embedded
+    spectrum; the sorted duplicates are decimated)."""
+    ev = jnp.linalg.eigvalsh(embed_hermitian(rho))
+    return ev[..., ::2]
+
+
+def hermitian_eigh_embedded(rho, transform):
+    """Apply an elementwise spectral ``transform`` (e.g. clipping) to a
+    batch of complex Hermitian matrices, entirely in the real embedding:
+    returns matrices with eigenvalues ``transform(eigenvalues)``."""
+    d = rho.shape[-1]
+    m = embed_hermitian(rho)
+    ev, V = jnp.linalg.eigh(m)
+    ev = transform(ev)
+    m2 = jnp.einsum("...ab,...b,...cb->...ac", V, ev, V)
+    return unembed_hermitian(m2, d)
 
 
 class TomographyBasis(Module):

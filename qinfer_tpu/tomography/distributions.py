@@ -128,13 +128,12 @@ class BCSZChoiDistribution(DensityOperatorDistribution):
         # partial trace over the SECOND factor: S_ab = Σ_k W_{(a k),(b k)}
         W4 = W.reshape(n, d, d, d, d)
         S = jnp.einsum("nakbk->nab", W4)
-        # inverse sqrt of S via eigh
-        evals, evecs = jnp.linalg.eigh(S)
-        inv_sqrt = jnp.einsum(
-            "nab,nb,ncb->nac", evecs,
-            1.0 / jnp.sqrt(jnp.clip(evals, 1e-12, None)).astype(
-                jnp.complex64),
-            evecs.conj())
+        # inverse sqrt of S via real-embedded eigh (complex eigh is
+        # unimplemented on the TPU backend; see tomography.bases helpers)
+        from .bases import hermitian_eigh_embedded
+
+        inv_sqrt = hermitian_eigh_embedded(
+            S, lambda ev: 1.0 / jnp.sqrt(jnp.clip(ev, 1e-12, None)))
         # (S^{-1/2} ⊗ I) W (S^{-1/2} ⊗ I)
         KI = jnp.einsum("nab,cd->nacbd", inv_sqrt, jnp.eye(
             d, dtype=jnp.complex64)).reshape(n, d2, d2)

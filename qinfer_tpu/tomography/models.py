@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from ..abstract_model import DifferentiableModel, FiniteOutcomeModel, \
     n_expparams
 from ..config import EPS
+from .bases import hermitian_eigvalsh, hermitian_eigh_embedded, \
+    embed_hermitian
 
 __all__ = ["TomographyModel", "DiffusiveTomographyModel",
            "ProcessTomographyModel"]
@@ -83,7 +85,7 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
 
     def are_models_valid(self, modelparams):
         rhos = self.modelparams_to_states(modelparams)
-        evals = jnp.linalg.eigvalsh(rhos)
+        evals = hermitian_eigvalsh(rhos)  # real-embedded eigh (TPU-safe)
         psd = jnp.all(evals >= -self.psd_tol, axis=-1)
         if self.allow_subnormalized:
             return psd
@@ -95,12 +97,14 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
         tomography; SURVEY.md §7 hard part 2)."""
         modelparams = jnp.atleast_2d(modelparams)
         rhos = self.modelparams_to_states(modelparams)
-        evals, evecs = jnp.linalg.eigh(rhos)
-        evals = jnp.clip(evals, 0.0, None)
-        tr = jnp.sum(evals, axis=-1, keepdims=True)
-        evals = evals / jnp.clip(tr, EPS, None)
-        rhos = jnp.einsum("nab,nb,ncb->nac", evecs,
-                          evals.astype(rhos.dtype), evecs.conj())
+
+        def clip_normalize(ev):
+            ev = jnp.clip(ev, 0.0, None)
+            # the embedded trace is 2·Tr(rho); normalize to embedded trace 2
+            tr = jnp.sum(ev, axis=-1, keepdims=True)
+            return 2.0 * ev / jnp.clip(tr, EPS, None)
+
+        rhos = hermitian_eigh_embedded(rhos, clip_normalize)
         return self.states_to_modelparams(rhos).astype(modelparams.dtype)
 
     def likelihood(self, outcomes, modelparams, expparams):
@@ -120,12 +124,11 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
         state σ (host-convenience; batched eigh)."""
         rhos = self.modelparams_to_states(modelparams)
         sig = jnp.asarray(sigma, dtype=rhos.dtype)
-        # F = (Tr sqrt(sqrt(σ) ρ sqrt(σ)))²
-        es, vs = jnp.linalg.eigh(sig)
-        sqrt_sig = (vs * jnp.sqrt(jnp.clip(es, 0, None)).astype(
-            vs.dtype)) @ vs.conj().T
+        # F = (Tr sqrt(sqrt(σ) ρ sqrt(σ)))², via real-embedded eigh
+        sqrt_sig = hermitian_eigh_embedded(
+            sig[None], lambda ev: jnp.sqrt(jnp.clip(ev, 0.0, None)))[0]
         M = jnp.einsum("ab,nbc,cd->nad", sqrt_sig, rhos, sqrt_sig)
-        ev = jnp.linalg.eigvalsh(M)
+        ev = hermitian_eigvalsh(M)
         return jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0, None)), axis=-1) ** 2
 
 

@@ -148,3 +148,79 @@ def test_liu_west_canonicalizes(key):
     _, new_x = rs(model, k2, w, x)
     new_np = np.asarray(new_x)
     assert np.all(new_np[:, 0] <= new_np[:, 1] + 1e-6)
+
+
+def test_gather_free_resample_locations_matches_ancestors(key):
+    """systematic_resample_locations (payload-through-sort, gather-free)
+    must agree exactly with locations[systematic_ancestors(...)]."""
+    from qinfer_tpu.resamplers import systematic_resample_locations
+
+    for seed in range(4):
+        n = 513
+        w = jax.random.dirichlet(jax.random.key(seed), jnp.ones(n))
+        x = jax.random.normal(jax.random.key(seed + 50), (n, 3))
+        k = jax.random.key(seed + 100)
+        ref = x[systematic_ancestors(k, w)]
+        got = systematic_resample_locations(k, w, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+
+def test_gather_free_one_hot_weights(key):
+    from qinfer_tpu.resamplers import systematic_resample_locations
+
+    w = jnp.zeros(128).at[37].set(1.0)
+    x = jnp.arange(128.0)[:, None]
+    got = systematic_resample_locations(key, w, x)
+    assert bool(jnp.all(got == 37.0))
+
+
+def test_liu_west_high_dim_uses_gather_path(key):
+    """d > 4 exercises the ancestors+gather fallback inside LiuWest."""
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (512, 6))
+    w = jax.random.dirichlet(k2, jnp.ones(512))
+
+    class Free6(q.Model):
+        def __init__(self):
+            super().__init__()
+
+        @property
+        def n_modelparams(self):
+            return 6
+
+        @property
+        def expparams_dtype(self):
+            return [("t", "float32")]
+
+        def n_outcomes(self, expparams=None):
+            return 2
+
+        def are_models_valid(self, mps):
+            return jnp.ones(jnp.atleast_2d(mps).shape[0], dtype=bool)
+
+        def likelihood(self, outcomes, mps, eps):
+            raise NotImplementedError
+
+    rs = LiuWestResampler(a=0.98)
+    new_w, new_x = rs(Free6(), key, w, x)
+    assert new_x.shape == (512, 6)
+    assert bool(jnp.all(jnp.isfinite(new_x)))
+
+
+def test_resampler_constructible_inside_jit(key):
+    """Constructing LiuWestResampler under a jit trace must not leak
+    tracers into static config (math.sqrt, not jnp.sqrt)."""
+    import qinfer_tpu as q
+
+    model = q.SimplePrecessionModel()
+
+    @jax.jit
+    def f(k, w, x):
+        rs = LiuWestResampler(a=0.95)
+        return rs(model, k, w, x)
+
+    w = jnp.full((256,), 1 / 256)
+    x = jnp.abs(jax.random.normal(key, (256, 1)))
+    new_w, new_x = f(key, w, x)
+    assert bool(jnp.all(jnp.isfinite(new_x)))

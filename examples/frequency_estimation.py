@@ -45,8 +45,8 @@ def main(n_particles=4000, n_experiments=75, true_omega=0.703, seed=0):
 
     mean = float(updater.est_mean()[0])
     std = float(jnp.sqrt(updater.est_covariance_mtx()[0, 0]))
-    lo, hi = updater.est_credible_region(0.95).ravel().min(), \
-        updater.est_credible_region(0.95).ravel().max()
+    region = updater.est_credible_region(0.95).ravel()
+    lo, hi = region.min(), region.max()
     print(f"\ntrue omega      : {true_omega}")
     print(f"posterior       : {q.format_uncertainty(mean, std)}")
     print(f"95% credible    : [{lo:.4f}, {hi:.4f}]")

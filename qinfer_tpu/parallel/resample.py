@@ -31,6 +31,7 @@ pod-scale D.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -50,6 +51,8 @@ def _local_systematic(u, weights, n_out):
     cdf = jnp.cumsum(weights)
     cdf = cdf / jnp.maximum(cdf[-1], EPS)
     positions = (jnp.arange(n_out, dtype=cdf.dtype) + u) / n_out
+    positions = jnp.minimum(positions,
+                            jnp.asarray(1.0 - 2.0 ** -24, cdf.dtype))
     return jnp.clip(jnp.searchsorted(cdf, positions), 0,
                     weights.shape[0] - 1)
 
@@ -87,7 +90,7 @@ class DistributedLiuWestResampler(Module):
         self.mesh = mesh
         self.axis_name = axis_name
         self.a = float(a)
-        self.h = float(h) if h is not None else __import__('math').sqrt(max(1.0 - a ** 2, 0.0))
+        self.h = float(h) if h is not None else math.sqrt(max(1.0 - a ** 2, 0.0))
         self.maxiter = int(maxiter)
         self.zero_cov_comp = float(zero_cov_comp)
 

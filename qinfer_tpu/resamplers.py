@@ -37,6 +37,25 @@ __all__ = ["Resampler", "LiuWestResampler", "systematic_ancestors",
            "systematic_resample_locations", "multinomial_ancestors"]
 
 
+#: largest float32 strictly below 1.0 — stratified positions are clamped
+#: here so none can round up to exactly 1.0 and tie with cdf[-1] (at large
+#: n, (n-1+u)/n rounds to 1.0f for u near 1; the stable sort would then
+#: place the final cdf entry FIRST and the position slot would miss its
+#: ancestor).
+_BELOW_ONE = 1.0 - 2.0 ** -24
+
+
+def _stratified_cdf_positions(key, weights, n_out):
+    """Shared prelude of all systematic-resampling variants: normalized
+    weight CDF and clamped stratified positions (single uniform offset)."""
+    u = jax.random.uniform(key, ())
+    cdf = jnp.cumsum(weights)
+    cdf = cdf / cdf[-1]
+    positions = (jnp.arange(n_out, dtype=cdf.dtype) + u) / n_out
+    positions = jnp.minimum(positions, jnp.asarray(_BELOW_ONE, cdf.dtype))
+    return cdf, positions
+
+
 def systematic_ancestors(key, weights, n_out=None):
     """Systematic (stratified, single-uniform) ancestor indices.
 
@@ -54,10 +73,7 @@ def systematic_ancestors(key, weights, n_out=None):
     """
     n = weights.shape[0]
     n_out = n if n_out is None else n_out
-    u = jax.random.uniform(key, ())
-    cdf = jnp.cumsum(weights)
-    cdf = cdf / cdf[-1]
-    positions = (jnp.arange(n_out, dtype=cdf.dtype) + u) / n_out
+    cdf, positions = _stratified_cdf_positions(key, weights, n_out)
     merged = jnp.concatenate([cdf, positions])
     order = jnp.argsort(merged, stable=True)
     is_cdf = order < n
@@ -93,10 +109,7 @@ def systematic_resample_locations(key, weights, locations):
         ``locations[systematic_ancestors(key, weights)]``).
     """
     n, d = locations.shape
-    u = jax.random.uniform(key, ())
-    cdf = jnp.cumsum(weights)
-    cdf = cdf / cdf[-1]
-    positions = (jnp.arange(n, dtype=cdf.dtype) + u) / n
+    cdf, positions = _stratified_cdf_positions(key, weights, n)
 
     # co-sorted operands (payloads move through the sort network — regular
     # access, never an indexed gather):
@@ -138,8 +151,10 @@ def systematic_resample_locations(key, weights, locations):
     out = jnp.zeros((n, d), dtype=locations.dtype).at[out_idx].set(
         filled, mode="drop")
     # Every position slot is guaranteed a fill: cdf[-1] is exactly 1.0
-    # (x/x) and every stratified position is < 1, so a cdf entry always
-    # sorts at-or-after it.
+    # (x/x) and _stratified_cdf_positions clamps every position strictly
+    # below 1.0f, so a cdf entry always sorts at-or-after it (the clamp is
+    # load-bearing: without it, (n-1+u)/n rounds to 1.0f at large n and
+    # the tying position slot would receive zeros).
     return out
 
 

@@ -224,3 +224,26 @@ def test_resampler_constructible_inside_jit(key):
     x = jnp.abs(jax.random.normal(key, (256, 1)))
     new_w, new_x = f(key, w, x)
     assert bool(jnp.all(jnp.isfinite(new_x)))
+
+
+def test_gather_free_no_zero_injection_at_scale():
+    """Float32 regression: at large n, the last stratified position
+    (n-1+u)/n rounds to exactly 1.0f for u near 1 and would tie with
+    cdf[-1]; without the strict-below-one clamp the final output slot
+    received an all-zeros payload (code-review finding, round 1)."""
+    from qinfer_tpu.resamplers import systematic_resample_locations
+
+    n = 1 << 21
+    w = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
+    x = jnp.full((n, 1), 7.0, dtype=jnp.float32)
+    # hunt for a key whose uniform draw lands in the dangerous u-range
+    found_dangerous = False
+    for s in range(64):
+        k = jax.random.key(s)
+        u = float(jax.random.uniform(k, ()))
+        if u >= 0.94:
+            found_dangerous = True
+            got = systematic_resample_locations(k, w, x)
+            assert float(got[-1, 0]) == 7.0, (
+                f"zero injected at seed {s} (u={u:.4f})")
+    assert found_dangerous, "no seed hit the dangerous u range; widen scan"

@@ -249,6 +249,21 @@ class Model(Simulatable):
     def likelihood(self, outcomes, modelparams, expparams):
         raise NotImplementedError
 
+    def log_likelihood(self, outcomes, modelparams, expparams):
+        """log of :meth:`likelihood`, same shape contract.
+
+        Default: ``log(clip(likelihood))``. Models whose likelihoods
+        underflow float32 (high-count binomial/Poisson tails) should
+        override with an analytically stable form — the engine detects the
+        override and switches the weight update to a max-shifted
+        (logsumexp-style) path, so inference survives steps where every
+        particle's linear likelihood would round to zero.
+        """
+        from .config import EPS
+
+        return jnp.log(jnp.clip(
+            self.likelihood(outcomes, modelparams, expparams), EPS, None))
+
     @property
     def Q(self):
         """Positive weights for the quadratic loss

@@ -230,6 +230,12 @@ class BinomialModel(DerivedModel):
         return L0[0]  # (n_models, n_eps)
 
     def likelihood(self, outcomes, modelparams, expparams):
+        return jnp.exp(self.log_likelihood(outcomes, modelparams, expparams))
+
+    def log_likelihood(self, outcomes, modelparams, expparams):
+        """Analytically stable log-binomial — lets the engine's max-shifted
+        weight update survive high-count outcomes whose linear pmf
+        underflows float32 (e.g. n_meas=10⁴ repetitions)."""
         self._bump("_call_count")
         modelparams = jnp.atleast_2d(modelparams)
         eps = self.canonicalize_expparams(expparams)
@@ -240,7 +246,7 @@ class BinomialModel(DerivedModel):
         logp = log_binomial_pdf(
             n_meas[None, None, :], outcomes[:, None, None], pr0[None, :, :])
         valid = outcomes[:, None, None] <= n_meas[None, None, :]
-        return jnp.where(valid, jnp.exp(logp), 0.0)
+        return jnp.where(valid, logp, -jnp.inf)
 
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
         self._bump("_sim_count", int(repeat))
@@ -553,15 +559,19 @@ class ReferencedPoissonModel(DerivedModel):
         return jnp.clip(rate, EPS, None)
 
     def likelihood(self, outcomes, modelparams, expparams):
+        return jnp.exp(self.log_likelihood(outcomes, modelparams, expparams))
+
+    def log_likelihood(self, outcomes, modelparams, expparams):
+        """Stable log-Poisson pmf (high counts underflow the linear pmf in
+        float32; the engine's max-shifted update uses this directly)."""
         self._bump("_call_count")
         modelparams = jnp.atleast_2d(modelparams)
         eps = self.canonicalize_expparams(expparams)
         rate = self._rates(modelparams, eps)  # (n_m, n_e)
         counts = jnp.atleast_1d(outcomes).astype(rate.dtype)
-        log_pmf = (counts[:, None, None] * jnp.log(rate)[None]
-                   - rate[None]
-                   - gammaln(counts + 1.0)[:, None, None])
-        return jnp.exp(log_pmf)
+        return (counts[:, None, None] * jnp.log(rate)[None]
+                - rate[None]
+                - gammaln(counts + 1.0)[:, None, None])
 
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
         self._bump("_sim_count", int(repeat))

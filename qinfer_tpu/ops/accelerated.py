@@ -13,7 +13,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..test_models import SimplePrecessionModel
-from .precession import precession_pr0, _LANES, _ROWS
+from .precession import (
+    precession_pr0,
+    fused_precession_update,
+    _LANES,
+    _ROWS,
+)
 
 __all__ = ["AcceleratedPrecessionModel"]
 
@@ -49,3 +54,20 @@ class AcceleratedPrecessionModel(SimplePrecessionModel):
             [precession_pr0(omega, ts[j]) for j in range(ts.shape[0])],
             axis=1)  # (n, n_e)
         return self.pr0_to_likelihood_array(outcomes, pr0)
+
+    def fused_reweight(self, weights, locations, outcome, expparams):
+        """Engine hook: the whole reweighting step (likelihood × weight ×
+        normalization + ESS partials) as ONE Pallas pass over HBM.
+
+        The SMC engine calls this instead of ``likelihood`` when a model
+        provides it (``smc.py::_reweight``); returns
+        ``(new_weights, log_norm)``.
+        """
+        n = locations.shape[0]
+        if n % (_ROWS * _LANES):
+            return None  # caller falls back to the likelihood path
+        eps = self.canonicalize_expparams(expparams)
+        hyp, norm, _, _ = fused_precession_update(
+            locations[:, 0], weights, eps["t"][0],
+            jnp.asarray(outcome).reshape(-1)[0], normalize=False)
+        return hyp, norm  # unnormalized hyp + linear norm

@@ -76,9 +76,9 @@ def _update_kernel(scalars_ref, omega_ref, w_ref, hyp_ref, sums_ref):
     sums_ref[2, :] = sums_ref[2, :] + hw_sum
 
 
-@partial(jax.jit, static_argnames=("rows_per_block",))
+@partial(jax.jit, static_argnames=("rows_per_block", "normalize"))
 def fused_precession_update(omega, weights, t, outcome,
-                            rows_per_block=_ROWS):
+                            rows_per_block=_ROWS, normalize=True):
     """Fused SMC reweighting step for ``SimplePrecessionModel``.
 
     :param omega: (n,) particle frequencies; n must be a multiple of
@@ -130,10 +130,10 @@ def fused_precession_update(omega, weights, t, outcome,
     sum_h2 = jnp.sum(sums[1])
     sum_hw = jnp.sum(sums[2])
     safe = jnp.maximum(norm, 1e-35)
-    new_w = (hyp / safe).reshape(n)
+    out_w = (hyp / safe if normalize else hyp).reshape(n)
     ess = safe * safe / jnp.maximum(sum_h2, 1e-35)
     mean = sum_hw / safe
-    return new_w, norm, ess, mean
+    return out_w, norm, ess, mean
 
 
 def _pr0_kernel(scalars_ref, omega_ref, out_ref):

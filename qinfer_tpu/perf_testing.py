@@ -179,7 +179,7 @@ def perf_test_scan(model, n_particles, prior, n_exp, heuristic_factory=None,
         eps = heuristic.propose(k_h, st.weights, st.locations, idx)
         outcome = model.simulate_experiment(k_sim, true, eps)
         outcome = jnp.asarray(outcome).reshape(-1)[0]
-        new_st, norm, _ = _update_step(
+        new_st, log_norm, _ = _update_step(
             model, updater.resampler, st, outcome, eps,
             updater.resample_thresh, updater.zero_weight_thresh,
             check_resample=True)
@@ -187,8 +187,8 @@ def perf_test_scan(model, n_particles, prior, n_exp, heuristic_factory=None,
         delta = est - true[0]
         loss = jnp.sum(Q * delta * delta)
         ess = 1.0 / jnp.sum(new_st.weights ** 2)
-        return (new_st, true, key), dict(loss=loss, ess=ess, norm=norm,
-                                         est=est)
+        return (new_st, true, key), dict(loss=loss, ess=ess,
+                                         norm=jnp.exp(log_norm), est=est)
 
     @jax.jit
     def run(state, true, key):

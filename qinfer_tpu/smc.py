@@ -110,6 +110,64 @@ def _is_time_dep(model):
     return type(model).update_timestep is not Simulatable.update_timestep
 
 
+def _has_log_likelihood(model):
+    """Trace-time check whether the model provides an analytically stable
+    ``log_likelihood`` override (engine then uses the max-shifted weight
+    update, immune to float32 likelihood underflow)."""
+    from .abstract_model import Model
+
+    for klass in type(model).__mro__:
+        if "log_likelihood" in vars(klass):
+            return klass is not Model
+    return False
+
+
+def _single_log_likelihood(model, locations, outcome, eps, key=None):
+    """log-likelihood of ONE outcome under ONE experiment: (n_particles,)."""
+    outcome = jnp.atleast_1d(outcome)
+    if getattr(model, "wants_likelihood_key", False) and key is not None:
+        L = model.log_likelihood(outcome, locations, eps, key=key)
+    else:
+        L = model.log_likelihood(outcome, locations, eps)
+    return L[0, :, 0]
+
+
+def _reweight(model, weights, locations, outcome, eps, k_like):
+    """One reweighting: returns (new_unnormalized_linear_hyp, norm) with
+    norm = sum(hyp). Uses the max-shifted log path when the model provides
+    a stable log_likelihood: hyp_i = w_i exp(logL_i - M); the returned
+    ``norm`` is then exp(M)·sum(hyp) reconstructed in log space so the
+    evidence record stays correct even when linear likelihoods underflow.
+    """
+    hook = getattr(type(model), "fused_reweight", None)
+    if hook is not None:
+        res = model.fused_reweight(weights, locations, outcome, eps)
+        if res is not None:  # trace-time fallback for unaligned shapes
+            hyp, norm = res
+            return hyp, norm, jnp.log(jnp.maximum(norm, EPS))
+    if _has_log_likelihood(model):
+        log_ell = _single_log_likelihood(
+            model, locations, outcome, eps, k_like)
+        M = jnp.max(log_ell)
+        # all-impossible outcome: M = -inf; shift by 0 so exp(-inf) = 0 and
+        # the zero-weight policy triggers instead of producing NaNs
+        safe_M = jnp.where(jnp.isfinite(M), M, 0.0)
+        hyp = weights * jnp.exp(log_ell - safe_M)
+        shifted_norm = jnp.sum(hyp)
+        log_norm = jnp.log(jnp.maximum(shifted_norm, EPS)) + safe_M
+        # Zero-weight semantics under log-space: the shifted norm never
+        # underflows, so "outcome inconsistent with every particle" is
+        # detected on the BEST particle's log-likelihood instead — report
+        # an effectively-zero norm so the caller's threshold comparison
+        # fires exactly when the linear engine's would have.
+        effective_norm = jnp.where(
+            M < jnp.log(jnp.asarray(1e-30)), 0.0, shifted_norm)
+        return hyp, effective_norm, log_norm
+    ell = _single_likelihood(model, locations, outcome, eps, k_like)
+    norm = jnp.sum(weights * ell)
+    return weights * ell, norm, jnp.log(jnp.maximum(norm, EPS))
+
+
 def _update_step_impl(model, resampler, state, outcome, eps,
                       resample_thresh, zero_weight_thresh,
                       check_resample=True):
@@ -125,13 +183,12 @@ def _update_step_impl(model, resampler, state, outcome, eps,
         key, k_like = jax.random.split(key)
     else:
         k_like = None
-    ell = _single_likelihood(model, state.locations, outcome, eps, k_like)
-    hyp = state.weights * ell
-    norm = jnp.sum(hyp)
+    hyp, norm, log_norm = _reweight(
+        model, state.weights, state.locations, outcome, eps, k_like)
     was_zero = norm <= zero_weight_thresh
     uniform = jnp.full_like(state.weights, 1.0 / n)
     new_w = jnp.where(was_zero, uniform, hyp / jnp.maximum(norm, EPS))
-    log_total = state.log_total_likelihood + jnp.log(jnp.maximum(norm, EPS))
+    log_total = state.log_total_likelihood + log_norm
 
     locs = state.locations
     if _is_time_dep(model):
@@ -163,7 +220,7 @@ def _update_step_impl(model, resampler, state, outcome, eps,
         min_n_ess=min_ess,
         zero_weight_count=state.zero_weight_count + was_zero.astype(jnp.int32),
     )
-    return new_state, norm, was_zero
+    return new_state, log_norm, was_zero
 
 
 #: Jit-compiled update step (the default path).
@@ -185,15 +242,14 @@ def _update_step_eager(model, resampler, state, outcome, eps,
         state = state._replace(key=key0)
     else:
         k_like = None
-    ell = _single_likelihood(model, state.locations, outcome, eps, k_like)
-    hyp = state.weights * jnp.asarray(ell)
-    norm = jnp.sum(hyp)
+    hyp, norm, log_norm = _reweight(
+        model, state.weights, state.locations, outcome, eps, k_like)
     was_zero = bool(norm <= zero_weight_thresh)
     if was_zero:
         new_w = jnp.full_like(state.weights, 1.0 / n)
     else:
         new_w = hyp / jnp.maximum(norm, EPS)
-    log_total = state.log_total_likelihood + jnp.log(jnp.maximum(norm, EPS))
+    log_total = state.log_total_likelihood + log_norm
 
     key = state.key
     locs = state.locations
@@ -217,7 +273,7 @@ def _update_step_eager(model, resampler, state, outcome, eps,
         min_n_ess=jnp.minimum(state.min_n_ess, ess),
         zero_weight_count=state.zero_weight_count + int(was_zero),
     )
-    return new_state, norm, jnp.asarray(was_zero)
+    return new_state, log_norm, jnp.asarray(was_zero)
 
 
 @partial(jax.jit, static_argnames=("resample_interval", "check_resample"))
@@ -242,13 +298,12 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
             st = st._replace(key=key0)
         else:
             k_like = None
-        ell = _single_likelihood(model, st.locations, outcome, eps, k_like)
-        hyp = st.weights * ell
-        norm = jnp.sum(hyp)
+        hyp, norm, log_norm = _reweight(
+            model, st.weights, st.locations, outcome, eps, k_like)
         was_zero = norm <= zero_weight_thresh
         uniform = jnp.full_like(st.weights, 1.0 / n)
         new_w = jnp.where(was_zero, uniform, hyp / jnp.maximum(norm, EPS))
-        log_total = st.log_total_likelihood + jnp.log(jnp.maximum(norm, EPS))
+        log_total = st.log_total_likelihood + log_norm
 
         key = st.key
         locs = st.locations
@@ -282,7 +337,7 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
             zero_weight_count=st.zero_weight_count
             + was_zero.astype(jnp.int32),
         )
-        return new_st, norm
+        return new_st, log_norm
 
     n_steps = outcomes.shape[0]
     idxs = jnp.arange(n_steps)
@@ -536,7 +591,7 @@ class SMCUpdater:
         step_fn = (_update_step_eager
                    if getattr(self.model, "host_only", False)
                    else _update_step)
-        new_state, norm, was_zero = step_fn(
+        new_state, log_norm, was_zero = step_fn(
             self.model, self.resampler, self._state, outcome_arr[0], eps,
             self.resample_thresh, self.zero_weight_thresh,
             check_resample=bool(check_for_resample))
@@ -544,7 +599,10 @@ class SMCUpdater:
             self._handle_zero_weight()
         self._state = new_state
         self.data_record.append(np.asarray(outcome))
-        self.normalization_record.append(float(norm))
+        # steps report the step evidence in log space (stable for models
+        # with underflowing likelihoods); record linear in float64
+        self.normalization_record.append(
+            float(np.exp(np.float64(log_norm))))
 
     def batch_update(self, outcomes, expparams, resample_interval=5):
         """Condition on a whole record of (outcome, experiment) pairs in one
@@ -562,7 +620,7 @@ class SMCUpdater:
                             check_for_resample=(i % max(resample_interval, 1)
                                                 == resample_interval - 1))
             return jnp.asarray(self.normalization_record[-outcomes.shape[0]:])
-        new_state, norms = _batch_update(
+        new_state, log_norms = _batch_update(
             self.model, self.resampler, self._state, outcomes, eps,
             self.resample_thresh, self.zero_weight_thresh,
             resample_interval=int(resample_interval))
@@ -571,9 +629,10 @@ class SMCUpdater:
         if zero_events > 0:
             self._handle_zero_weight()
         self._state = new_state
+        norms = np.exp(np.asarray(log_norms, dtype=np.float64))
         self.data_record.extend(np.asarray(outcomes).tolist())
-        self.normalization_record.extend(np.asarray(norms).tolist())
-        return norms
+        self.normalization_record.extend(norms.tolist())
+        return jnp.asarray(norms)
 
     def _handle_zero_weight(self):
         msg = ("all particle weights are numerically zero; the observed "

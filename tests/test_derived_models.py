@@ -221,3 +221,40 @@ def test_rb_fidelity_conversions():
     F = q.p_to_F(p)
     assert np.isclose(q.F_to_p(F), p)
     assert np.isclose(F, 0.99)  # qubit: F = 1 - (1-p)/2
+
+
+def test_log_likelihood_engine_survives_underflow():
+    """With n_meas so large that every particle's linear binomial pmf
+    underflows float32, the engine's max-shifted log path must keep
+    inferring (a linear engine would hit the zero-weight policy every
+    step)."""
+    model = q.BinomialModel(q.SimplePrecessionModel(), n_meas_max=20000)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u = q.SMCUpdater(model, 1000, prior, seed=0)
+    true = jnp.array([[0.43]])
+    key = jax.random.key(7)
+    for k in range(8):
+        t = 0.3 * (k + 1)
+        eps = {"t": jnp.array([t]), "n_meas": jnp.array([20000])}
+        key, sk = jax.random.split(key)
+        o = model.simulate_experiment(sk, true, eps)
+        # sanity: the linear pmf of this outcome underflows f32 everywhere
+        u.update(o, eps)
+    std = float(jnp.sqrt(u.est_covariance_mtx()[0, 0]))
+    assert abs(float(u.est_mean()[0]) - 0.43) < 6 * std + 0.01
+    assert std < 0.01
+    assert int(u.state.zero_weight_count) == 0
+    # evidence record stays finite and positive
+    assert all(n >= 0 for n in u.normalization_record)
+    assert np.isfinite(u.log_total_likelihood)
+
+
+def test_referenced_poisson_log_likelihood_high_counts():
+    m = q.ReferencedPoissonModel(q.SimplePrecessionModel(), max_count=5000)
+    mps = jnp.array([[0.5, 2000.0, 50.0]])
+    eps = {"t": jnp.array([1.0]), "mode": jnp.array([0])}
+    ll = float(m.log_likelihood(jnp.array([1500]), mps, eps)[0, 0, 0])
+    assert np.isfinite(ll) and ll < 0
+    # linear pmf would underflow f32 for far-tail counts; log stays finite
+    ll_tail = float(m.log_likelihood(jnp.array([4000]), mps, eps)[0, 0, 0])
+    assert np.isfinite(ll_tail) and ll_tail < -100

@@ -141,3 +141,35 @@ def test_systematic_variance_below_multinomial(key):
     var_sys = np.stack(sys_counts).var(axis=0).mean()
     var_mult = np.stack(mult_counts).var(axis=0).mean()
     assert var_sys < 0.5 * var_mult
+
+
+def test_fused_reweight_hook_in_engine():
+    """The SMC engine must route through AcceleratedPrecessionModel's
+    fused_reweight hook and produce the same posterior as the plain
+    likelihood path (outcomes identical; only kernel fusion differs)."""
+    acc = AcceleratedPrecessionModel()
+    plain = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    ua = q.SMCUpdater(acc, 2048, prior, seed=0)
+    up = q.SMCUpdater(plain, 2048, prior, seed=0)
+    key = jax.random.key(2)
+    for k in range(12):
+        t = (9 / 8) ** k / 5
+        key, sk = jax.random.split(key)
+        o = plain.simulate_experiment(sk, jnp.array([[0.6]]),
+                                      {"t": jnp.array([t])})
+        ua.update(o, {"t": jnp.array([t])}, check_for_resample=False)
+        up.update(o, {"t": jnp.array([t])}, check_for_resample=False)
+    np.testing.assert_allclose(np.asarray(ua.particle_weights),
+                               np.asarray(up.particle_weights), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ua.normalization_record),
+        np.asarray(up.normalization_record), rtol=1e-4)
+
+
+def test_fused_reweight_hook_unaligned_fallback():
+    acc = AcceleratedPrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u = q.SMCUpdater(acc, 1000, prior, seed=0)  # not tile-aligned
+    u.update(0, {"t": jnp.array([1.0])})
+    assert np.isfinite(float(u.est_mean()[0]))

@@ -591,6 +591,7 @@ class SMCUpdater:
         step_fn = (_update_step_eager
                    if getattr(self.model, "host_only", False)
                    else _update_step)
+        prev_state = self._state
         new_state, log_norm, was_zero = step_fn(
             self.model, self.resampler, self._state, outcome_arr[0], eps,
             self.resample_thresh, self.zero_weight_thresh,
@@ -598,6 +599,8 @@ class SMCUpdater:
         if bool(was_zero):
             self._handle_zero_weight()
         self._state = new_state
+        if bool(new_state.just_resampled):
+            self._on_resample_diagnostics(prev_state, new_state)
         self.data_record.append(np.asarray(outcome))
         # steps report the step evidence in log space (stable for models
         # with underflowing likelihoods); record linear in float64
@@ -633,6 +636,32 @@ class SMCUpdater:
         self.data_record.extend(np.asarray(outcomes).tolist())
         self.normalization_record.extend(norms.tolist())
         return jnp.asarray(norms)
+
+    def _on_resample_diagnostics(self, prev_state, new_state):
+        """Opt-in resampling diagnostics.
+
+        Reference parity: ``SMCUpdater(debug_resampling=...)`` logging and
+        ``track_resampling_divergence`` (the reference records the KL
+        divergence introduced by each resample). Host-side and opt-in:
+        the jitted step is unaffected when both flags are off.
+        """
+        if self.track_resampling_divergence:
+            post = SMCUpdater.__new__(SMCUpdater)
+            post._state = new_state
+            post._n_particles = self._n_particles
+            pre = SMCUpdater.__new__(SMCUpdater)
+            pre._state = prev_state
+            pre._n_particles = self._n_particles
+            div = float(SMCUpdater.est_kl_divergence(pre, post))
+            self.resampling_divergences.append(div)
+        if self.debug_resampling:
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "resample #%d: n_ess %.1f -> %.1f",
+                int(new_state.resample_count),
+                float(1.0 / jnp.sum(prev_state.weights ** 2)),
+                float(1.0 / jnp.sum(new_state.weights ** 2)))
 
     def _handle_zero_weight(self):
         msg = ("all particle weights are numerically zero; the observed "

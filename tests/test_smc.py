@@ -300,3 +300,21 @@ def test_cluster_moments():
     assert len([l for l in labels if l != q.NO_CLUSTER]) >= 2
     metrics = u.est_cluster_metrics({"eps": 0.5, "min_particles": 5})
     assert metrics["n_clusters"] >= 2
+
+
+def test_track_resampling_divergence():
+    """Reference parity: track_resampling_divergence records one KL value
+    per resample event (``smc.py::SMCUpdater`` diagnostics)."""
+    model = q.SimplePrecessionModel()
+    u = q.SMCUpdater(model, 400, q.UniformDistribution([[0, 1]]), seed=0,
+                     track_resampling_divergence=True, resample_thresh=0.9)
+    key = jax.random.key(1)
+    for k in range(20):
+        t = (9 / 8) ** k / 5
+        key, sk = jax.random.split(key)
+        o = model.simulate_experiment(sk, jnp.array([[0.6]]),
+                                      {"t": jnp.array([t])})
+        u.update(o, {"t": jnp.array([t])})
+    assert u.resample_count > 0
+    assert len(u.resampling_divergences) == u.resample_count
+    assert all(np.isfinite(d) for d in u.resampling_divergences)

@@ -31,7 +31,7 @@ from .smc import SMCUpdater, _update_step
 from .heuristics import PGH
 
 __all__ = ["perf_test", "perf_test_multiple", "perf_test_scan",
-           "PERF_DTYPE"]
+           "perf_test_scan_batch", "PERF_DTYPE"]
 
 #: Per-step record dtype. Reference parity: the structured array returned by
 #: ``perf_testing.py::perf_test`` (elapsed_time, loss, resample_count,
@@ -198,3 +198,112 @@ def perf_test_scan(model, n_particles, prior, n_exp, heuristic_factory=None,
     updater.state = final_state
     record["true_mps"] = true_mps
     return updater, record
+
+
+def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
+                         resample_thresh=0.5, resampler=None, seed=0,
+                         mesh=None, axis_name="trials"):
+    """Trial-parallel fully-compiled adaptive inference.
+
+    The TPU-native replacement for the reference's ipyparallel trial
+    fan-out (``perf_testing.py::perf_test_multiple(apply=view.apply)``):
+    every trial runs the same compiled PGH→simulate→update ``lax.scan``,
+    and trials are distributed over devices.
+
+    Two execution modes:
+
+    * ``mesh=None`` — ``jax.vmap`` over trials on one device. NOTE: under
+      vmap, ``lax.cond`` lowers to ``select`` (both branches execute), so
+      every step pays the resample cost; fine for small ensembles.
+    * ``mesh`` given — ``jax.shard_map`` over a 1-D trial mesh: each device
+      runs its own trials with REAL conditional resampling (the branch is a
+      per-device runtime decision), so per-trial cost matches the
+      single-trial path. ``n_trials`` must divide by the mesh size.
+
+    :return: dict of stacked per-trial records
+        ``{loss (T, n_exp), ess (T, n_exp), est (T, n_exp, d),
+        true_mps (T, d), final_weights, final_locations}``.
+    """
+    from .resamplers import LiuWestResampler
+    from .smc import SMCState, _update_step_impl
+    from .heuristics import PGH
+
+    resampler = resampler if resampler is not None else LiuWestResampler()
+    zero_thresh = 1e-10
+    Q = model.Q
+    d = model.n_modelparams
+
+    # a PGH heuristic bound to no updater: propose() only reads the model's
+    # expparams_dtype, which we patch through a stub
+    class _Stub:
+        pass
+
+    stub = _Stub()
+    stub.model = model
+    heuristic = PGH(stub)
+
+    def make_trial(trial_key):
+        k_prior, k_true, k_run = jax.random.split(trial_key, 3)
+        locations = prior.sample(k_prior, n_particles)
+        true_mps = prior.sample(k_true, 1)
+        state = SMCState(
+            weights=jnp.full((n_particles,), 1.0 / n_particles,
+                             dtype=jnp.float32),
+            locations=locations,
+            key=k_run,
+            resample_count=jnp.asarray(0, jnp.int32),
+            just_resampled=jnp.asarray(False),
+            log_total_likelihood=jnp.asarray(0.0, jnp.float32),
+            min_n_ess=jnp.asarray(float(n_particles), jnp.float32),
+            zero_weight_count=jnp.asarray(0, jnp.int32),
+        )
+        return state, true_mps
+
+    def run_trial(trial_key):
+        state, true_mps = make_trial(trial_key)
+
+        def step(carry, idx):
+            st, key = carry
+            key, k_h, k_sim = jax.random.split(key, 3)
+            eps = heuristic.propose(k_h, st.weights, st.locations, idx)
+            outcome = model.simulate_experiment(k_sim, true_mps, eps)
+            outcome = jnp.asarray(outcome).reshape(-1)[0]
+            new_st, _, _ = _update_step_impl(
+                model, resampler, st, outcome, eps,
+                resample_thresh, zero_thresh, check_resample=True)
+            est = new_st.weights @ new_st.locations
+            delta = est - true_mps[0]
+            loss = jnp.sum(Q * delta * delta)
+            ess = 1.0 / jnp.sum(new_st.weights ** 2)
+            return (new_st, key), dict(loss=loss, ess=ess, est=est)
+
+        (final, _), rec = jax.lax.scan(
+            step, (state, jax.random.fold_in(trial_key, 1)),
+            jnp.arange(n_exp))
+        rec["true_mps"] = true_mps[0]
+        rec["final_weights"] = final.weights
+        rec["final_locations"] = final.locations
+        return rec
+
+    trial_keys = jax.random.split(jax.random.key(seed), n_trials)
+
+    if mesh is None:
+        return jax.jit(jax.vmap(run_trial))(trial_keys)
+
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis_name]
+    if n_trials % n_dev:
+        raise ValueError(
+            f"n_trials={n_trials} must divide mesh size {n_dev}")
+
+    def shard_fn(keys_block):
+        # sequential trials within the shard keep real cond branching
+        return jax.lax.map(run_trial, keys_block)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+        check_vma=False)
+    return jax.jit(mapped)(trial_keys)

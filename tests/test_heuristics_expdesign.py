@@ -141,3 +141,23 @@ def test_perf_test_scan_matches_host_loop_statistically():
     # final committed state matches the record tail
     np.testing.assert_allclose(
         np.asarray(u.est_mean()), np.asarray(rec["est"][-1]), atol=1e-6)
+
+
+def test_perf_test_scan_batch_vmap_and_shard():
+    from qinfer_tpu.perf_testing import perf_test_scan_batch
+    from jax.sharding import Mesh
+
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    rec = perf_test_scan_batch(model, 256, prior, 25, n_trials=4, seed=0)
+    assert rec["loss"].shape == (4, 25)
+    assert float(jnp.median(rec["loss"][:, -1])) < 5e-2
+
+    mesh = Mesh(np.asarray(jax.devices()), ("trials",))
+    rec2 = perf_test_scan_batch(model, 256, prior, 25, n_trials=8, seed=1,
+                                mesh=mesh)
+    assert rec2["loss"].shape == (8, 25)
+    assert rec2["final_locations"].shape == (8, 256, 1)
+
+    with pytest.raises(ValueError):
+        perf_test_scan_batch(model, 256, prior, 5, n_trials=3, mesh=mesh)

@@ -186,6 +186,17 @@ class Simulatable(Module):
     def allow_identical_outcomes(self):
         return False
 
+    @property
+    def is_time_dependent(self):
+        """True when this model genuinely evolves particles between
+        experiments (the engine then runs ``update_timestep`` per step).
+        Default: whether the class overrides ``update_timestep``."""
+        return type(self).update_timestep is not Simulatable.update_timestep
+
+    #: Trailing dimensionality of one outcome: 0 = scalar outcomes,
+    #: 1 = vector-valued outcomes (e.g. multinomial count vectors).
+    outcome_ndim = 0
+
     def update_timestep(self, key, modelparams, expparams):
         """Evolve model parameters after an experiment (time-dependent
         models). Returns ``(n_models, n_modelparams, n_expparams)`` like the
@@ -369,16 +380,17 @@ class DifferentiableModel(Model):
         eps = self.canonicalize_expparams(expparams)
         outcomes = jnp.atleast_1d(outcomes)
 
-        def log_L(mps):
-            return jnp.log(
-                jnp.clip(self.likelihood(outcomes, mps, eps), EPS, None)
-            )
+        def log_L_single(x):
+            # x: (d,) one particle -> (n_out, n_eps)
+            L = self.likelihood(outcomes, x[None, :], eps)
+            return jnp.log(jnp.clip(L[:, 0, :], EPS, None))
 
-        # jacobian wrt model params: (n_out, n_models, n_eps, n_models, d)
-        jac = jax.jacrev(log_L)(modelparams)
-        # diagonal over the two n_models axes -> (n_out, n_eps, d, n_models)
-        diag = jnp.diagonal(jac, axis1=1, axis2=3)
-        q = jnp.moveaxis(diag, (2, 3), (0, 2))  # (d, n_out, n_models, n_eps)
+        # per-particle jacobian, vmapped: (n_m, n_out, n_eps, d).
+        # (A whole-batch jacrev would materialize the (…, n_m, n_m, d)
+        # cross-particle jacobian — O(n²) memory — just to take its
+        # diagonal; the vmap form is O(n·d).)
+        jac = jax.vmap(jax.jacrev(log_L_single))(modelparams)
+        q = jnp.moveaxis(jac, (3, 0), (0, 2))  # (d, n_out, n_m, n_eps)
         if return_L:
             return q, self.likelihood(outcomes, modelparams, eps)
         return q

@@ -119,6 +119,15 @@ class DerivedModel(Model):
         return self.underlying_model.update_timestep(
             key, modelparams, expparams)
 
+    @property
+    def is_time_dependent(self):
+        # Delegating wrappers are time-dependent iff something below is.
+        return self.underlying_model.is_time_dependent
+
+    @property
+    def outcome_ndim(self):
+        return self.underlying_model.outcome_ndim
+
     def likelihood(self, outcomes, modelparams, expparams):
         return self.underlying_model.likelihood(
             outcomes, modelparams, expparams)
@@ -137,9 +146,15 @@ class PoisonedModel(DerivedModel):
     hedged-beta standard error an :class:`~qinfer_tpu.ale.ALEApproximateModel`
     would incur; in tol mode it is a constant ``tol``.
 
-    TPU-native: noise is keyed (deterministic per seed); the instance holds
-    a key consumed per call so poisoning remains reproducible.
+    TPU-native: the engine threads a fresh PRNG key per update
+    (``wants_likelihood_key``), so poison noise is re-drawn every step even
+    under ``jit``/``scan``; direct ``likelihood()`` calls without a key fall
+    back to an instance-held key (never stored when traced, so closures
+    cannot leak tracers).
     """
+
+    #: engine threads a per-step key so the corruption is fresh under scan
+    wants_likelihood_key = True
 
     def __init__(self, underlying_model, tol=None, n_samples=None,
                  hedge=None, seed=0):
@@ -156,10 +171,15 @@ class PoisonedModel(DerivedModel):
         if key is None:
             key = jax.random.key(0)
         key, sub = jax.random.split(key)
-        object.__setattr__(self, "_noise_key", key)
+        if not isinstance(key, jax.core.Tracer):
+            # never store traced keys on the instance (closure-traced calls
+            # would otherwise leak tracers into later eager calls)
+            object.__setattr__(self, "_noise_key", key)
         return sub
 
-    def likelihood(self, outcomes, modelparams, expparams):
+    def likelihood(self, outcomes, modelparams, expparams, key=None):
+        if key is None:
+            key = self._next_key()
         L = self.underlying_model.likelihood(outcomes, modelparams, expparams)
         if self.tol is not None:
             sigma = self.tol
@@ -168,7 +188,7 @@ class PoisonedModel(DerivedModel):
             n, h = self.n_samples, self.hedge
             p_hat = (L * n + h) / (n + 2 * h)
             sigma = jnp.sqrt(p_hat * (1 - p_hat) / (n + 2 * h + 1))
-        noise = jax.random.normal(self._next_key(), L.shape) * sigma
+        noise = jax.random.normal(key, L.shape) * sigma
         return jnp.clip(L + noise, 0.0, 1.0)
 
 
@@ -194,6 +214,8 @@ class BinomialModel(DerivedModel):
     @property
     def decorated_model(self):
         return self.underlying_model
+
+    outcome_ndim = 0
 
     @property
     def expparams_dtype(self):
@@ -279,6 +301,8 @@ class MultinomialModel(DerivedModel):
     Reference parity: ``derived_models.py::MultinomialModel``.
     """
 
+    outcome_ndim = 1
+
     def __init__(self, underlying_model, n_meas_max=32):
         super().__init__(underlying_model)
         self.n_elements = int(underlying_model.n_outcomes(None))
@@ -323,22 +347,35 @@ class MultinomialModel(DerivedModel):
             outcomes[:, None, None, :], probs[None, :, :, :])
 
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+        """Fixed-shape multinomial draws honoring PER-EXPERIMENT ``n_meas``:
+        ``n_meas_max`` categorical trials per cell, masked by each
+        experiment's count (jit/vmap-safe; no host conversion)."""
         self._bump("_sim_count", int(repeat))
         modelparams = jnp.atleast_2d(modelparams)
         eps = self.canonicalize_expparams(expparams)
         probs = self._category_probs(modelparams, eps)  # (n_m, n_e, k)
-        n_meas = int(np.asarray(eps["n_meas"])[0])
+        n_meas = jnp.asarray(eps["n_meas"])  # (n_e,)
         n_m, n_e, k = probs.shape
 
-        flat = probs.reshape(-1, k)
-        keys = jax.random.split(key, flat.shape[0] * repeat)
-
-        def draw(kk, p):
-            return sample_multinomial(kk, n_meas, p)
-
-        draws = jax.vmap(draw)(
-            keys, jnp.tile(flat, (repeat, 1)))
-        out = draws.reshape(repeat, n_m, n_e, k)
+        u = jax.random.uniform(
+            key, (repeat, n_m, n_e, self.n_meas_max))
+        cdf = jnp.cumsum(probs, axis=-1)  # (n_m, n_e, k)
+        cdf = cdf / jnp.clip(cdf[..., -1:], EPS, None)
+        active = (jnp.arange(self.n_meas_max)[None, None, None, :]
+                  < n_meas[None, None, :, None])
+        counts = []
+        lower = jnp.zeros_like(cdf[..., 0])
+        for c in range(k):
+            upper = cdf[..., c]
+            hit = ((u >= lower[None, :, :, None])
+                   & (u < upper[None, :, :, None]) & active)
+            counts.append(jnp.sum(hit, axis=-1))
+            lower = upper
+        out = jnp.stack(counts, axis=-1).astype(jnp.int32)
+        # numerical guard: assign any unbinned trials (u == 1 edge) to the
+        # last category so totals always equal n_meas
+        deficit = n_meas[None, None, :] - jnp.sum(out, axis=-1)
+        out = out.at[..., -1].add(deficit.astype(jnp.int32))
         if repeat == 1:
             out = out[0]
         return out
@@ -372,6 +409,10 @@ class RandomWalkModel(DerivedModel):
     def __init__(self, underlying_model, step_distribution):
         super().__init__(underlying_model)
         self.step_distribution = step_distribution
+
+    @property
+    def is_time_dependent(self):
+        return True
 
     def update_timestep(self, key, modelparams, expparams):
         modelparams = jnp.atleast_2d(modelparams)
@@ -491,6 +532,7 @@ class ReferencedPoissonModel(DerivedModel):
     """
 
     SIGNAL, BRIGHT, DARK = 0, 1, 2
+    outcome_ndim = 0
 
     def __init__(self, underlying_model, max_count=512):
         if underlying_model.n_outcomes(None) != 2:

@@ -62,9 +62,14 @@ class ExperimentDesigner:
 
     # -- objective ---------------------------------------------------------
 
-    def _risk_of(self, base_eps, field, values, cost_scale_k=1.0,
+    def _risk_of(self, base_eps, field, values, cost_scale_k=0.0,
                  cost_mult=False):
-        """Risk for a batch of candidate values of one scalar field."""
+        """Risk for a batch of candidate values of one scalar field.
+
+        Cost weighting applies whenever ``cost_scale_k != 0`` (additive) or
+        ``cost_mult`` is set (multiplicative) — gating on a magic default
+        value would make ``cost_scale_k=1.0`` silently mean "no cost".
+        """
         values = jnp.atleast_1d(jnp.asarray(values))
         n_cand = values.shape[0]
         eps = {
@@ -74,7 +79,7 @@ class ExperimentDesigner:
         eps[field] = values.astype(eps[field].dtype
                                    if field in eps else jnp.float32)
         risk = self.updater.bayes_risk(eps)
-        if cost_scale_k != 1.0 or cost_mult:
+        if cost_scale_k != 0.0 or cost_mult:
             cost = self.updater.model.experiment_cost(eps)
             if cost_mult:
                 risk = risk * (1.0 + cost_scale_k * cost)
@@ -85,7 +90,7 @@ class ExperimentDesigner:
     # -- main entry --------------------------------------------------------
 
     def design_expparams_field(self, guess, field,
-                               cost_scale_k=1.0, disp=False,
+                               cost_scale_k=0.0, disp=False,
                                maxiter=24, maxfun=None, store_guess=False,
                                grad_h=1e-6, cost_mult=False,
                                n_grid=64, n_zoom=3, zoom_factor=0.25):
@@ -95,7 +100,9 @@ class ExperimentDesigner:
         design_expparams_field(guess, field, cost_scale_k, disp, maxiter,
         maxfun, store_guess, grad_h, cost_mult)``. ``guess`` is either an
         expparams record (dict / structured array) or a ``Heuristic``
-        instance to call for one.
+        instance to call for one. ``cost_scale_k=0`` (default) optimizes
+        pure risk; any nonzero value adds ``k * experiment_cost``;
+        ``cost_mult`` multiplies instead.
 
         :return: the optimized expparams dict (one experiment).
         """

@@ -56,9 +56,10 @@ class PGH(Heuristic):
 
     Reference parity: ``src/qinfer/heuristics.py::PGH(updater, inv_field,
     t_field, inv_func, t_func, maxiters, other_fields)`` — the reference
-    redraws until the two particles differ; here the distance is clamped
-    below by ``min_separation`` (static shape; identical behavior except on
-    the measure-zero event of an exact tie).
+    redraws until the two particles differ; here the second draw excludes
+    the first particle's index outright (the same conditional distribution,
+    no loop) and the distance is clamped below by ``min_separation`` for
+    exact location ties between distinct particles.
     """
 
     def __init__(self, updater, inv_field="x_", t_field="t",
@@ -77,7 +78,11 @@ class PGH(Heuristic):
         k1, k2 = jax.random.split(key)
         logits = jnp.log(jnp.clip(weights, EPS, None))
         i = jax.random.categorical(k1, logits, shape=())
-        j = jax.random.categorical(k2, logits, shape=())
+        # x2 is drawn from the posterior EXCLUDING particle i — exactly the
+        # distribution of the reference's redraw-until-distinct loop (the
+        # collision probability is 1/ESS, NOT measure-zero; a duplicated
+        # cloud after resampling would otherwise propose t = 1/min_sep)
+        j = jax.random.categorical(k2, logits.at[i].set(-jnp.inf), shape=())
         x1 = locations[i]
         x2 = locations[j]
         sep = jnp.linalg.norm(x1 - x2)

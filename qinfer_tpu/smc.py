@@ -97,7 +97,7 @@ def _single_likelihood(model, locations, outcome, eps, key=None):
     Monte-Carlo estimate) receive a per-step PRNG key so their noise is
     fresh on every scanned step instead of frozen at trace time.
     """
-    outcome = jnp.atleast_1d(outcome)
+    outcome = _lift_outcome(model, outcome)
     if getattr(model, "wants_likelihood_key", False) and key is not None:
         L = model.likelihood(outcome, locations, eps, key=key)
     else:
@@ -105,9 +105,26 @@ def _single_likelihood(model, locations, outcome, eps, key=None):
     return L[0, :, 0]
 
 
+def _lift_outcome(model, outcome):
+    """Shape one observed outcome for the likelihood contract: ``(1,)`` for
+    scalar outcomes, ``(1, k)`` for vector-valued outcomes (models declare
+    ``outcome_ndim = 1``, e.g. MultinomialModel count vectors)."""
+    outcome = jnp.asarray(outcome)
+    nd = int(getattr(model, "outcome_ndim", 0))
+    if nd == 0:
+        return outcome.reshape(-1)[:1]
+    return outcome.reshape((-1,) + outcome.shape[-nd:])[:1]
+
+
 def _is_time_dep(model):
-    """Trace-time check whether the model overrides ``update_timestep``."""
-    return type(model).update_timestep is not Simulatable.update_timestep
+    """Trace-time check whether the model is genuinely time-dependent.
+
+    Delegating wrappers (``DerivedModel``) define ``update_timestep`` but
+    merely forward it; consulting ``model.is_time_dependent`` walks the
+    wrapper chain so static models (e.g. ``BinomialModel(SimplePrecession
+    Model())`` — the simple_est hot path) do not pay an identity
+    ``update_timestep`` pass per step."""
+    return bool(model.is_time_dependent)
 
 
 def _has_log_likelihood(model):
@@ -124,7 +141,7 @@ def _has_log_likelihood(model):
 
 def _single_log_likelihood(model, locations, outcome, eps, key=None):
     """log-likelihood of ONE outcome under ONE experiment: (n_particles,)."""
-    outcome = jnp.atleast_1d(outcome)
+    outcome = _lift_outcome(model, outcome)
     if getattr(model, "wants_likelihood_key", False) and key is not None:
         L = model.log_likelihood(outcome, locations, eps, key=key)
     else:
@@ -585,7 +602,7 @@ class SMCUpdater:
         eps = self.model.canonicalize_expparams(expparams)
         if n_expparams(eps) != 1:
             eps = expparams_at(eps, 0)
-        outcome_arr = jnp.atleast_1d(jnp.asarray(outcome))[:1]
+        outcome_arr = _lift_outcome(self.model, jnp.asarray(outcome))
         # Host-side models (e.g. DirectViewParallelizedModel dispatching to
         # an engine pool) cannot be traced; run the step eagerly for them.
         step_fn = (_update_step_eager
@@ -593,7 +610,7 @@ class SMCUpdater:
                    else _update_step)
         prev_state = self._state
         new_state, log_norm, was_zero = step_fn(
-            self.model, self.resampler, self._state, outcome_arr[0], eps,
+            self.model, self.resampler, self._state, outcome_arr, eps,
             self.resample_thresh, self.zero_weight_thresh,
             check_resample=bool(check_for_resample))
         if bool(was_zero):
@@ -985,12 +1002,13 @@ class SMCUpdater:
         import matplotlib.pyplot as plt
 
         cov = np.asarray(self.est_covariance_mtx(corr=corr))
+        names = (list(tick_labels) if tick_labels is not None
+                 else list(self.model.modelparam_names))
         if param_slice is not None:
             cov = cov[param_slice, param_slice]
+            names = names[param_slice]
         im = plt.imshow(cov, interpolation="nearest", cmap="RdBu_r")
         plt.colorbar(im)
-        names = (tick_labels if tick_labels is not None
-                 else self.model.modelparam_names)
         plt.xticks(range(len(names)), names, **(tick_params or {}))
         plt.yticks(range(len(names)), names, **(tick_params or {}))
         return im

@@ -208,8 +208,10 @@ def gell_mann_basis(dim):
 
 
 def tensor_product_basis(*bases):
-    """Tensor product of operator bases (identity-first ordering is NOT
-    preserved in general; the combined identity is re-sorted to index 0).
+    """Tensor product of operator bases, with the identity-proportional
+    element re-sorted to index 0 (the position
+    :class:`~qinfer_tpu.tomography.models.TomographyModel` requires for its
+    fixed trace coordinate).
 
     Reference parity: ``tomography/bases.py::tensor_product_basis``.
     """
@@ -227,5 +229,23 @@ def tensor_product_basis(*bases):
         ops.append(op)
         labels.append("⊗".join(lab))
     ops = np.stack(ops)
-    # move the identity-product (all-zero combo) to the front
+    # locate the identity-proportional element and move it to index 0
+    d = ops.shape[-1]
+    eye = np.eye(d, dtype=np.complex64)
+    id_idx = None
+    for i, op in enumerate(ops):
+        tr = np.trace(op)
+        if abs(tr) > 1e-6 and np.allclose(op, (tr / d) * eye, atol=1e-5):
+            id_idx = i
+            break
+    if id_idx is None:
+        raise ValueError(
+            "tensor_product_basis: no identity-proportional element found; "
+            "input bases must each contain an identity-proportional op")
+    order = [id_idx] + [i for i in range(len(ops)) if i != id_idx]
+    ops = ops[order]
+    labels = [labels[i] for i in order]
+    # fix the sign/phase so data[0] = +I/sqrt(d)
+    tr0 = np.trace(ops[0])
+    ops[0] = ops[0] * (abs(tr0) / tr0)
     return TomographyBasis(ops, dims, labels)

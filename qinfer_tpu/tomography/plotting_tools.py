@@ -13,17 +13,21 @@ __all__ = ["plot_rebit_posterior", "plot_decaying_exponentials",
            "rebit_coords"]
 
 
-def rebit_coords(model, modelparams):
-    """(x, z) rebit-plane coordinates of a particle batch: the expectation
-    values of the X and Z basis operators (scaled to the Bloch disk)."""
+def rebit_coords(model, modelparams, rebit_axes=(1, 3)):
+    """(⟨X⟩, ⟨Z⟩) rebit-plane coordinates of a particle batch.
+
+    ``rebit_axes`` are FULL-coordinate indices into the basis (identity is
+    index 0); the default ``(1, 3)`` picks X and Z of a Pauli basis — the
+    two axes a rebit (real density matrix, ⟨Y⟩ = 0) actually lives on.
+    """
     import jax.numpy as jnp
 
     x = model._full_coords(jnp.atleast_2d(jnp.asarray(modelparams)))
     coords = np.asarray(x)
     d = model.dim
     # coordinates are Tr(B_i rho); for the Pauli basis B = sigma/sqrt(d) so
-    # <sigma_i> = sqrt(d) * coord_i. Plot the first two non-identity coords.
-    return np.sqrt(d) * coords[:, 1:3]
+    # <sigma_i> = sqrt(d) * coord_i
+    return np.sqrt(d) * coords[:, list(rebit_axes)]
 
 
 def plot_rebit_posterior(updater, prior=None, true_state=None, n_std=3,
@@ -39,9 +43,16 @@ def plot_rebit_posterior(updater, prior=None, true_state=None, n_std=3,
     if ax is None:
         _, ax = plt.subplots(figsize=(5, 5))
     model = updater.model
-    pts = rebit_coords(model, updater.particle_locations)
+    pts = rebit_coords(model, updater.particle_locations, rebit_axes)
     w = np.asarray(updater.particle_weights)
     ax.add_patch(Circle((0, 0), 1.0, fill=False, color="k", lw=1))
+    if prior is not None:
+        import jax
+
+        prior_pts = rebit_coords(
+            model, prior.sample(jax.random.key(0), 300), rebit_axes)
+        ax.scatter(prior_pts[:, 0], prior_pts[:, 1], s=2, alpha=0.15,
+                   color="0.6", label="prior")
     ax.scatter(pts[:, 0], pts[:, 1], s=1e3 * w, alpha=0.3, label="posterior")
 
     mean = np.average(pts, axis=0, weights=w)
@@ -55,7 +66,7 @@ def plot_rebit_posterior(updater, prior=None, true_state=None, n_std=3,
     if true_state is not None:
         true_mps = model.states_to_modelparams(
             np.asarray(true_state)[None])[0]
-        tp = rebit_coords(model, true_mps[None])
+        tp = rebit_coords(model, true_mps[None], rebit_axes)
         ax.scatter(tp[:, 0], tp[:, 1], marker="*", s=200, color="C3",
                    label="true", zorder=5)
     ax.set_xlim(-1.1, 1.1)

@@ -258,3 +258,61 @@ def test_referenced_poisson_log_likelihood_high_counts():
     # linear pmf would underflow f32 for far-tail counts; log stays finite
     ll_tail = float(m.log_likelihood(jnp.array([4000]), mps, eps)[0, 0, 0])
     assert np.isfinite(ll_tail) and ll_tail < -100
+
+
+def test_multinomial_smc_update_vector_outcomes():
+    """Code-review regression: SMCUpdater.update must consume a full count
+    VECTOR for MultinomialModel (it used to silently truncate to the first
+    element and broadcast a wrong posterior)."""
+    from scipy.stats import multinomial as sp_multinomial
+
+    die = q.NDieModel(3)
+    m = q.MultinomialModel(die, n_meas_max=12)
+    prior = q.MVUniformDistribution(3)
+    u = q.SMCUpdater(m, 300, prior, seed=0)
+    eps = {"exp_num": jnp.array([0]), "n_meas": jnp.array([12])}
+    outcome = jnp.array([6, 4, 2])
+    u.update(outcome, eps, check_for_resample=False)
+    # manual posterior
+    w0 = np.full(300, 1 / 300)
+    x = np.asarray(u.particle_locations)
+    L = np.array([sp_multinomial.pmf([6, 4, 2], 12, p / p.sum())
+                  for p in x])
+    expect = w0 * L
+    expect /= expect.sum()
+    np.testing.assert_allclose(np.asarray(u.particle_weights), expect,
+                               atol=1e-5)
+    # and batch_update with a record of vectors
+    outs = jnp.array([[6, 4, 2], [5, 5, 2]])
+    eps2 = {"exp_num": jnp.array([0, 0]), "n_meas": jnp.array([12, 12])}
+    u.batch_update(outs, eps2)
+    assert np.isfinite(np.asarray(u.est_mean())).all()
+
+
+def test_multinomial_simulation_per_experiment_n_meas(key):
+    """Code-review regression: each experiment's n_meas must be honored
+    (used to use the first experiment's count for every experiment)."""
+    die = q.NDieModel(3)
+    m = q.MultinomialModel(die, n_meas_max=16)
+    p = jnp.array([[0.5, 0.3, 0.2]])
+    eps = {"exp_num": jnp.array([0, 1]), "n_meas": jnp.array([12, 5])}
+    draws = np.asarray(m.simulate_experiment(key, p, eps, repeat=100))
+    totals = draws.sum(axis=-1)  # (100, 1, 2)
+    assert np.all(totals[:, 0, 0] == 12)
+    assert np.all(totals[:, 0, 1] == 5)
+
+
+def test_poisoned_noise_fresh_per_step():
+    """Code-review regression: poison noise must differ across scanned
+    steps (the underscore key was dropped by pytree flattening, freezing
+    the noise)."""
+    base = q.SimplePrecessionModel()
+    poisoned = q.PoisonedModel(base, tol=0.02, seed=0)
+    u = q.SMCUpdater(poisoned, 200, q.UniformDistribution([[0, 1]]),
+                     seed=0, zero_weight_policy="reset")
+    # identical experiments & outcomes: normalizations differ iff noise is
+    # re-drawn per step
+    outs = jnp.zeros(8, dtype=jnp.int32)
+    eps = {"t": jnp.full((8,), 1.0)}
+    norms = np.asarray(u.batch_update(outs, eps))
+    assert len(np.unique(np.round(norms, 8))) > 4

@@ -161,3 +161,32 @@ def test_perf_test_scan_batch_vmap_and_shard():
 
     with pytest.raises(ValueError):
         perf_test_scan_batch(model, 256, prior, 5, n_trials=3, mesh=mesh)
+
+
+def test_pgh_never_collides_on_concentrated_posterior():
+    """Code-review regression: with nearly all weight on ONE particle, the
+    two PGH draws must still be distinct particles (no 1/min_separation
+    blowup)."""
+    model = q.SimplePrecessionModel()
+    u = q.SMCUpdater(model, 100, q.UniformDistribution([[0, 1]]), seed=0)
+    # concentrate weight on particle 7
+    st = u.state
+    w = jnp.full((100,), 1e-6).at[7].set(1.0)
+    u.state = st._replace(weights=w / w.sum())
+    pgh = q.PGH(u)
+    for _ in range(20):
+        t = float(pgh()["t"][0])
+        assert t < 1e9, "PGH drew the same particle twice"
+
+
+def test_designer_cost_weighting_continuous():
+    """Code-review regression: cost_scale_k=0 means pure risk; any nonzero
+    k adds cost — no magic value disables it."""
+    u = make_updater(n_exp=15)
+    d = q.ExperimentDesigner(u)
+    eps = {"t": jnp.array([2.0])}
+    r0, _ = d._risk_of(eps, "t", jnp.array([2.0]), cost_scale_k=0.0)
+    r1, _ = d._risk_of(eps, "t", jnp.array([2.0]), cost_scale_k=1.0)
+    r1eps, _ = d._risk_of(eps, "t", jnp.array([2.0]), cost_scale_k=1.0 + 1e-7)
+    assert np.isclose(r1[0] - r0[0], 2.0, atol=1e-3)  # cost = t = 2
+    assert np.isclose(r1[0], r1eps[0], atol=1e-3)     # continuous in k

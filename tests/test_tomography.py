@@ -306,3 +306,33 @@ def test_process_tomography_infers_depolarizing():
     # 15-dim Choi-state posterior after 120 experiments: coarse but clearly
     # converging (prior-mean fidelity is ~0.75)
     assert F > 0.85
+
+
+def test_tensor_product_basis_identity_first_any_order():
+    """Code-review regression: tensor_product_basis must deliver the
+    identity element at index 0 even when inputs are not identity-first."""
+    b = tomo.pauli_basis(1)
+    # scramble: X first, identity last
+    scrambled = tomo.TomographyBasis(
+        np.asarray(b.data)[[1, 2, 3, 0]], [2], ["X", "Y", "Z", "I"])
+    combined = tomo.tensor_product_basis(scrambled, scrambled)
+    data = np.asarray(combined.data)
+    d = 4
+    np.testing.assert_allclose(
+        data[0], np.eye(d) / np.sqrt(d), atol=1e-5)
+    gram = np.einsum("iab,jba->ij", data, data)
+    np.testing.assert_allclose(gram, np.eye(16), atol=1e-5)
+
+
+def test_rebit_coords_are_x_and_z():
+    """Code-review regression: rebit_coords must return (<X>, <Z>), not
+    (<X>, <Y>) — rebits live in the X-Z plane."""
+    from qinfer_tpu.tomography.plotting_tools import rebit_coords
+
+    b = tomo.pauli_basis(1)
+    model = tomo.TomographyModel(b)
+    rho = np.array([[0.9, 0.3], [0.3, 0.1]], dtype=np.complex64)
+    # <X> = 2*0.3 = 0.6 ; <Z> = 0.8
+    mps = model.states_to_modelparams(jnp.asarray(rho)[None])
+    xz = rebit_coords(model, mps)
+    np.testing.assert_allclose(xz[0], [0.6, 0.8], atol=1e-5)

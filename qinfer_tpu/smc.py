@@ -933,10 +933,24 @@ class SMCUpdater:
         """Membership test of arbitrary points in the credible region.
 
         Reference parity: ``smc.py::SMCUpdater.in_credible_region`` with
-        methods ``'hpd_hull'`` (Delaunay membership in the credible hull)
-        and ``'hpd_mvee'`` (inside the MVEE of the hull).
+        methods ``'hpd_hull'`` (Delaunay membership in the credible hull),
+        ``'hpd_mvee'`` (inside the MVEE of the hull) and ``'est_cov'``
+        (inside the posterior-covariance ellipsoid scaled to the level by
+        the chi-square quantile).
         """
         points = np.atleast_2d(np.asarray(points))
+        if method == "est_cov":
+            from scipy.stats import chi2
+
+            w = self._state.weights
+            x = self._state.locations
+            if modelparam_slice is not None:
+                x = x[:, modelparam_slice]
+            mu, cov = weighted_moments(w, x)
+            d = x.shape[1]
+            scale = chi2.ppf(level, df=d)
+            return in_ellipsoid(points, scale * np.asarray(cov),
+                                np.asarray(mu))
         if method == "hpd_hull":
             from scipy.spatial import Delaunay
 
@@ -1019,6 +1033,25 @@ class SMCUpdater:
         return (f"<SMCUpdater n_particles={self.n_particles} "
                 f"n_ess={self.n_ess:.1f} "
                 f"resample_count={self.resample_count}>")
+
+    def _repr_html_(self):
+        """Notebook display. Reference parity: the ipython pretty display
+        of ``smc.py::SMCUpdater``."""
+        from .utils import format_uncertainty
+
+        mean = np.asarray(self.est_mean())
+        std = np.sqrt(np.clip(np.diag(np.asarray(
+            self.est_covariance_mtx())), 0, None))
+        rows = "".join(
+            f"<tr><td>{name}</td><td>{format_uncertainty(m, s)}</td></tr>"
+            for name, m, s in zip(self.model.modelparam_names, mean, std))
+        return (
+            "<strong>SMCUpdater</strong> "
+            f"({self.n_particles} particles, "
+            f"ESS {self.n_ess:.1f}, {self.resample_count} resamples, "
+            f"{len(self.data_record)} experiments)"
+            f"<table><tr><th>parameter</th><th>posterior</th></tr>"
+            f"{rows}</table>")
 
 
 # ---------------------------------------------------------------------------

@@ -318,3 +318,12 @@ def test_track_resampling_divergence():
     assert u.resample_count > 0
     assert len(u.resampling_divergences) == u.resample_count
     assert all(np.isfinite(d) for d in u.resampling_divergences)
+
+
+def test_in_credible_region_est_cov():
+    u = run_precession(n_exp=40)
+    mean = np.asarray(u.est_mean())[None, :]
+    far = np.array([[10.0]])
+    got = u.in_credible_region(
+        np.concatenate([mean, far]), level=0.95, method="est_cov")
+    assert got[0] and not got[1]

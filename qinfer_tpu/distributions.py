@@ -616,12 +616,7 @@ class GinibreUniform(SingleSampleMixin, Distribution):
         return 3
 
     def _sample_one(self, key):
-        kr, ki = jax.random.split(key)
-        g = (jax.random.normal(kr, (self.dim, self.k))
-             + 1j * jax.random.normal(ki, (self.dim, self.k)))
-        rho = g @ g.conj().T
-        rho = rho / jnp.trace(rho).real
-        return _bloch_vector(rho)
+        return _ginibre_bloch(key, self.dim, self.k)
 
 
 class HilbertSchmidtUniform(SingleSampleMixin, Distribution):
@@ -642,17 +637,24 @@ class HilbertSchmidtUniform(SingleSampleMixin, Distribution):
         return 3
 
     def _sample_one(self, key):
-        kr, ki = jax.random.split(key)
-        g = (jax.random.normal(kr, (self.dim, self.dim))
-             + 1j * jax.random.normal(ki, (self.dim, self.dim)))
-        rho = g @ g.conj().T
-        rho = rho / jnp.trace(rho).real
-        return _bloch_vector(rho)
+        return _ginibre_bloch(key, self.dim, self.dim)
 
 
-def _bloch_vector(rho):
-    """(x, y, z) Bloch components of a 2x2 density matrix."""
-    x = 2.0 * rho[0, 1].real
-    y = 2.0 * rho[1, 0].imag
-    z = (rho[0, 0] - rho[1, 1]).real
+def _ginibre_bloch(key, dim, rank):
+    """Bloch vector of a Ginibre-random qubit state, computed with REAL
+    arithmetic only (G = A + iB drawn as two real normals;
+    ρ ∝ GG† has Re = AAᵀ + BBᵀ, Im = BAᵀ − ABᵀ — the axon TPU backend
+    implements no complex ops)."""
+    kr, ki = jax.random.split(key)
+    A = jax.random.normal(kr, (dim, rank))
+    B = jax.random.normal(ki, (dim, rank))
+    re = A @ A.T + B @ B.T
+    im = B @ A.T - A @ B.T
+    tr = jnp.trace(re)
+    re = re / tr
+    im = im / tr
+    # (x, y, z) Bloch components of the 2x2 density matrix re + i·im
+    x = 2.0 * re[0, 1]
+    y = 2.0 * im[1, 0]
+    z = re[0, 0] - re[1, 1]
     return jnp.stack([x, y, z])

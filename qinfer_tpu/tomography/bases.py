@@ -78,6 +78,28 @@ def hermitian_eigh_embedded(rho, transform):
     return unembed_hermitian(m2, d)
 
 
+class _HostArray:
+    """Hashable host-side array holder: keeps complex basis data OUT of the
+    pytree (a complex leaf would be device-transferred when the model
+    crosses ``jit`` — and the axon TPU backend rejects complex buffers
+    outright). Hash/eq by content so jit cache keys stay correct."""
+
+    __slots__ = ("arr", "_hash")
+
+    def __init__(self, arr):
+        self.arr = np.ascontiguousarray(arr)
+        self._hash = hash((self.arr.shape, self.arr.dtype.str,
+                           self.arr.tobytes()))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return (isinstance(other, _HostArray)
+                and self.arr.shape == other.arr.shape
+                and np.array_equal(self.arr, other.arr))
+
+
 class TomographyBasis(Module):
     """An orthonormal Hermitian operator basis.
 
@@ -90,11 +112,29 @@ class TomographyBasis(Module):
     """
 
     def __init__(self, data, dims, labels=None):
-        data = jnp.asarray(data, dtype=jnp.complex64)
-        self.data = data
+        host = np.asarray(data, dtype=np.complex64)
+        # Complex data lives HOST-side only, as static (non-pytree) content:
+        # the axon TPU backend rejects complex buffers, so it must never be
+        # device-transferred when a model carrying this basis crosses jit.
+        self.data_host = _HostArray(host)
         self.dims = list(int(d) for d in dims)
         self.labels = list(labels) if labels is not None else [
-            f"B{i}" for i in range(data.shape[0])]
+            f"B{i}" for i in range(host.shape[0])]
+        # Real-embedded basis operators — the ONLY on-device representation:
+        # every device-side tomography computation runs on these
+        # (n_ops, 2d, 2d) real matrices via the embedding homomorphism
+        # E(AB) = E(A)E(B).
+        re, im = host.real, host.imag
+        top = np.concatenate([re, -im], axis=-1)
+        bot = np.concatenate([im, re], axis=-1)
+        self.data_embedded = jnp.asarray(
+            np.concatenate([top, bot], axis=-2), dtype=jnp.float32)
+
+    @property
+    def data(self):
+        """Complex basis operators as a host NumPy array (API-compat view;
+        all device computation uses :attr:`data_embedded`)."""
+        return self.data_host.arr
 
     @property
     def dim(self):
@@ -103,7 +143,7 @@ class TomographyBasis(Module):
 
     @property
     def n_ops(self):
-        return self.data.shape[0]
+        return self.data_host.arr.shape[0]
 
     def __len__(self):
         return self.n_ops
@@ -119,8 +159,9 @@ class TomographyBasis(Module):
 
         Reference parity: ``TomographyBasis.state_to_modelparams``.
         """
-        rho = jnp.asarray(rho, dtype=jnp.complex64)
-        return jnp.real(jnp.einsum("iab,...ba->...i", self.data, rho))
+        rho = np.asarray(rho, dtype=np.complex64)
+        return jnp.asarray(
+            np.real(np.einsum("iab,...ba->...i", self.data_host.arr, rho)))
 
     def modelparams_to_state(self, x):
         """Inverse: coordinates ``(..., n_ops)`` to matrices
@@ -128,16 +169,31 @@ class TomographyBasis(Module):
 
         Reference parity: ``TomographyBasis.modelparams_to_state``.
         """
-        x = jnp.asarray(x)
-        return jnp.einsum("...i,iab->...ab",
-                          x.astype(jnp.complex64), self.data)
+        x = np.asarray(x, dtype=np.complex64)
+        return np.einsum("...i,iab->...ab", x, self.data_host.arr)
+
+    # -- real-embedded coordinates (the on-device path; complex-free) -----
+
+    def coords_to_embedded(self, x):
+        """Coordinates ``(..., n_ops)`` → real-embedded matrices
+        ``(..., 2d, 2d)``: E(ρ) = Σ xᵢ E(Bᵢ). Pure real einsum —
+        runs on TPU backends with no complex support."""
+        x = jnp.asarray(x, dtype=jnp.float32)
+        return jnp.einsum("...i,iab->...ab", x, self.data_embedded)
+
+    def embedded_to_coords(self, m):
+        """Inverse of :func:`coords_to_embedded` for Hermitian-embedded
+        matrices: xᵢ = Tr(Bᵢ ρ) = ½ Tr(E(Bᵢ) E(ρ))."""
+        m = jnp.asarray(m, dtype=jnp.float32)
+        return 0.5 * jnp.einsum("iab,...ba->...i", self.data_embedded, m)
 
     def covariance_mtx_to_superop(self, cov):
         """Lift a coordinate covariance matrix to a superoperator on
         operators (host-side helper for plotting; reference
         ``TomographyBasis.covariance_mtx_to_superop``)."""
-        cov = jnp.asarray(cov, dtype=jnp.complex64)
-        return jnp.einsum("ij,iab,jcd->abcd", cov, self.data, self.data)
+        cov = np.asarray(cov, dtype=np.complex64)
+        return np.einsum("ij,iab,jcd->abcd", cov,
+                         self.data_host.arr, self.data_host.arr)
 
     def __repr__(self):
         return (f"<TomographyBasis dims={self.dims} "

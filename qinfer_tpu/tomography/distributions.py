@@ -6,9 +6,12 @@ Reference parity: ``src/qinfer/tomography/distributions.py`` —
 ``BCSZChoiDistribution`` (random channels as Choi states) and
 ``GADFLIDistribution`` (fiducial-state-informed prior).
 
-TPU-native: sampling is batched complex-normal linear algebra
-(``vmap``-able, explicit keys); coordinates are produced directly in the
-model's :class:`~qinfer_tpu.tomography.bases.TomographyBasis`.
+TPU-native: the axon TPU backend implements NO complex arithmetic, so all
+sampling runs in the **real embedding** E(H) = [[Re H, −Im H], [Im H, Re H]]
+— an algebra homomorphism (E(AB) = E(A)E(B), E(H†) = E(H)ᵀ), so a complex
+Ginibre draw G = A + iB becomes the real block matrix E(G) built from two
+real normals, GG† becomes E(G)E(G)ᵀ, and coordinates come out through the
+basis's real trace inner products. Nothing complex ever touches the device.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..distributions import Distribution
+from ..config import EPS
 
 __all__ = [
     "DensityOperatorDistribution",
@@ -27,10 +31,20 @@ __all__ = [
 ]
 
 
+def _assemble_embedding(re, im):
+    """E(A + iB) = [[A, −B], [B, A]] for batched real blocks (..., d, d)."""
+    top = jnp.concatenate([re, -im], axis=-1)
+    bot = jnp.concatenate([im, re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 class DensityOperatorDistribution(Distribution):
     """Distribution over density operators expressed in a tomography
     basis; samples are the ``d²−1`` free coordinates (trace component
     dropped, matching :class:`~qinfer_tpu.tomography.models.TomographyModel`).
+
+    Subclasses implement ``_sample_embedded(key, n) -> (n, 2d, 2d)`` —
+    unit-trace density operators in the real embedding.
 
     Reference parity:
     ``tomography/distributions.py::DensityOperatorDistribution``.
@@ -48,17 +62,17 @@ class DensityOperatorDistribution(Distribution):
         return self.basis.n_ops - 1
 
     def sample(self, key, n=1):
-        rhos = self._sample_states(key, n)  # (n, d, d)
-        coords = self.basis.state_to_modelparams(rhos)
+        m = self._sample_embedded(key, n)  # (n, 2d, 2d)
+        coords = self.basis.embedded_to_coords(m)
         return coords[:, 1:]
 
-    def _sample_states(self, key, n):
+    def _sample_embedded(self, key, n):
         raise NotImplementedError
 
 
 class GinibreDistribution(DensityOperatorDistribution):
     """Ginibre-ensemble random states of given rank: ρ ∝ GG† with G a
-    ``d × rank`` complex standard normal.
+    ``d × rank`` complex standard normal (drawn as its real embedding).
 
     Reference parity: ``tomography/distributions.py::GinibreDistribution``.
     """
@@ -67,18 +81,20 @@ class GinibreDistribution(DensityOperatorDistribution):
         super().__init__(basis)
         self.rank = int(rank) if rank is not None else self.dim
 
-    def _sample_states(self, key, n):
+    def _sample_embedded(self, key, n):
         d, r = self.dim, self.rank
         kr, ki = jax.random.split(key)
-        g = (jax.random.normal(kr, (n, d, r))
-             + 1j * jax.random.normal(ki, (n, d, r))).astype(jnp.complex64)
-        rho = jnp.einsum("nij,nkj->nik", g, g.conj())
-        tr = jnp.trace(rho, axis1=1, axis2=2).real
-        return rho / tr[:, None, None]
+        A = jax.random.normal(kr, (n, d, r))
+        B = jax.random.normal(ki, (n, d, r))
+        gE = _assemble_embedding(A, B)          # (n, 2d, 2r) = E(G)
+        mE = jnp.einsum("nij,nkj->nik", gE, gE)  # E(G G†)
+        tr = 0.5 * jnp.trace(mE, axis1=1, axis2=2)  # Tr rho
+        return mE / jnp.clip(tr, EPS, None)[:, None, None]
 
 
 class GinibreReditDistribution(DensityOperatorDistribution):
-    """Real-valued Ginibre states (rebits/redits): ρ ∝ GGᵀ with G real.
+    """Real-valued Ginibre states (rebits/redits): ρ ∝ GGᵀ with G real
+    (the imaginary block of the embedding is exactly zero).
 
     Reference parity:
     ``tomography/distributions.py::GinibreReditDistribution``.
@@ -88,21 +104,23 @@ class GinibreReditDistribution(DensityOperatorDistribution):
         super().__init__(basis)
         self.rank = int(rank) if rank is not None else self.dim
 
-    def _sample_states(self, key, n):
+    def _sample_embedded(self, key, n):
         d, r = self.dim, self.rank
         g = jax.random.normal(key, (n, d, r))
         rho = jnp.einsum("nij,nkj->nik", g, g)
         tr = jnp.trace(rho, axis1=1, axis2=2)
-        return (rho / tr[:, None, None]).astype(jnp.complex64)
+        rho = rho / jnp.clip(tr, EPS, None)[:, None, None]
+        return _assemble_embedding(rho, jnp.zeros_like(rho))
 
 
 class BCSZChoiDistribution(DensityOperatorDistribution):
     """BCSZ-random CPTP channels represented as (normalized) Choi states.
 
     Sampling (Bruzda-Cappellini-Sommers-Życzkowski): W = GG† with G a
-    ``d² × rank`` complex normal; enforce trace preservation by the
-    partial-trace whitening W ↦ (√S⁻¹ ⊗ I) W (√S⁻¹ ⊗ I) with
-    S = Tr₂ W, then normalize to unit trace (Choi *state*).
+    ``d² × rank`` complex normal; trace preservation enforced by the
+    partial-trace whitening W ↦ (S^{-1/2} ⊗ I) W (S^{-1/2} ⊗ I) with
+    S = Tr₂ W; normalized to a unit-trace Choi *state*. All products,
+    partial traces and the inverse square root run in the real embedding.
 
     Reference parity: ``tomography/distributions.py::BCSZChoiDistribution``
     — the basis must live on the doubled space (dim d²).
@@ -118,28 +136,40 @@ class BCSZChoiDistribution(DensityOperatorDistribution):
         self.hilbert_dim = hd
         self.rank = int(rank) if rank is not None else d2
 
-    def _sample_states(self, key, n):
+    def _sample_embedded(self, key, n):
         d = self.hilbert_dim
         d2, r = d * d, self.rank
         kr, ki = jax.random.split(key)
-        g = (jax.random.normal(kr, (n, d2, r))
-             + 1j * jax.random.normal(ki, (n, d2, r))).astype(jnp.complex64)
-        W = jnp.einsum("nij,nkj->nik", g, g.conj())  # (n, d², d²)
-        # partial trace over the SECOND factor: S_ab = Σ_k W_{(a k),(b k)}
-        W4 = W.reshape(n, d, d, d, d)
-        S = jnp.einsum("nakbk->nab", W4)
-        # inverse sqrt of S via real-embedded eigh (complex eigh is
-        # unimplemented on the TPU backend; see tomography.bases helpers)
-        from .bases import hermitian_eigh_embedded
+        A = jax.random.normal(kr, (n, d2, r))
+        B = jax.random.normal(ki, (n, d2, r))
+        gE = _assemble_embedding(A, B)           # E(G): (n, 2d², 2r)
+        wE = jnp.einsum("nij,nkj->nik", gE, gE)   # E(W): (n, 2d², 2d²)
 
-        inv_sqrt = hermitian_eigh_embedded(
-            S, lambda ev: 1.0 / jnp.sqrt(jnp.clip(ev, 1e-12, None)))
-        # (S^{-1/2} ⊗ I) W (S^{-1/2} ⊗ I)
-        KI = jnp.einsum("nab,cd->nacbd", inv_sqrt, jnp.eye(
-            d, dtype=jnp.complex64)).reshape(n, d2, d2)
-        choi = jnp.einsum("nij,njk,nlk->nil", KI, W, KI.conj())
-        tr = jnp.trace(choi, axis1=1, axis2=2).real
-        return choi / tr[:, None, None]
+        # partial trace over the SECOND tensor factor, blockwise:
+        # S_ab = Σ_k W_{(a k),(b k)} applied to Re W and Im W separately
+        w_re = wE[:, :d2, :d2].reshape(n, d, d, d, d)
+        w_im = wE[:, d2:, :d2].reshape(n, d, d, d, d)
+        s_re = jnp.einsum("nakbk->nab", w_re)
+        s_im = jnp.einsum("nakbk->nab", w_im)
+        sE = _assemble_embedding(s_re, s_im)      # E(S): (n, 2d, 2d)
+
+        # K = S^{-1/2} via real symmetric eigh on E(S)
+        ev, V = jnp.linalg.eigh(sE)
+        inv_sqrt = jnp.einsum(
+            "nab,nb,ncb->nac", V,
+            1.0 / jnp.sqrt(jnp.clip(ev, 1e-12, None)), V)  # E(K)
+        k_re = inv_sqrt[:, :d, :d]
+        k_im = inv_sqrt[:, d:, :d]
+
+        # M = K ⊗ I in the embedding: Re/Im kron separately
+        eye = jnp.eye(d, dtype=jnp.float32)
+        m_re = jnp.einsum("nab,cd->nacbd", k_re, eye).reshape(n, d2, d2)
+        m_im = jnp.einsum("nab,cd->nacbd", k_im, eye).reshape(n, d2, d2)
+        mE = _assemble_embedding(m_re, m_im)      # E(K ⊗ I)
+
+        choi = jnp.einsum("nij,njk,nlk->nil", mE, wE, mE)
+        tr = 0.5 * jnp.trace(choi, axis1=1, axis2=2)
+        return choi / jnp.clip(tr, EPS, None)[:, None, None]
 
 
 class GADFLIDistribution(DensityOperatorDistribution):
@@ -149,23 +179,28 @@ class GADFLIDistribution(DensityOperatorDistribution):
     support.
 
     Reference parity: ``tomography/distributions.py::GADFLIDistribution``
-    [SURVEY.md marks this MED-confidence; the mixing form here follows the
+    [SURVEY.md marks this MED-confidence; the mixing form follows the
     GADFLI construction of Granade et al., Practical Bayesian tomography
     (NJP 18 033024, 2016)].
     """
 
     def __init__(self, basis, fiducial_state, alpha=1.0, beta=9.0,
                  rank=None):
+        import numpy as _np
+
         super().__init__(basis)
-        self.fiducial_state = jnp.asarray(fiducial_state,
-                                          dtype=jnp.complex64)
+        fid = _np.asarray(fiducial_state, dtype=_np.complex64)
+        # embed host-side; stored as a real pytree leaf
+        self.fiducial_embedded = jnp.asarray(_np.block(
+            [[fid.real, -fid.imag], [fid.imag, fid.real]]),
+            dtype=jnp.float32)
         self.alpha = float(alpha)
         self.beta = float(beta)
-        self._ginibre = GinibreDistribution(basis, rank=rank)
+        self.rank = int(rank) if rank is not None else None
 
-    def _sample_states(self, key, n):
+    def _sample_embedded(self, key, n):
         k1, k2 = jax.random.split(key)
-        rho_g = self._ginibre._sample_states(k1, n)
+        gin = GinibreDistribution(self.basis, rank=self.rank)
+        rho_g = gin._sample_embedded(k1, n)
         mix = jax.random.beta(k2, self.alpha, self.beta, (n, 1, 1))
-        mix = mix.astype(jnp.complex64)
-        return (1.0 - mix) * rho_g + mix * self.fiducial_state[None]
+        return (1.0 - mix) * rho_g + mix * self.fiducial_embedded[None]

@@ -27,10 +27,12 @@ __all__ = [
 
 def _projector_coords(basis, vecs):
     """Coordinates of rank-1 projectors |v⟩⟨v| in ``basis`` for a batch of
-    kets ``vecs`` (m, d)."""
-    vecs = jnp.asarray(vecs, dtype=jnp.complex64)
-    projs = jnp.einsum("ma,mb->mab", vecs, vecs.conj())
-    return basis.state_to_modelparams(projs)
+    kets ``vecs`` (m, d). HOST-side numpy (complex arithmetic never runs
+    on the axon TPU backend)."""
+    vecs = np.asarray(vecs, dtype=np.complex64)
+    projs = np.einsum("ma,mb->mab", vecs, vecs.conj())
+    data = np.asarray(basis.data)
+    return np.real(np.einsum("iab,mba->mi", data, projs))
 
 
 class RandomPauliHeuristic(Heuristic):
@@ -51,17 +53,16 @@ class RandomPauliHeuristic(Heuristic):
         d = basis.dim
         eye_coords = np.zeros(basis.n_ops)
         eye_coords[0] = np.sqrt(d)  # coords of identity: Tr(B_0 I) = √d
-        sigma_coords = np.sqrt(d) * np.eye(basis.n_ops)  # Tr(B_i B_j)=δ → σ=B_i·√?
         # Coordinates of the normalized basis op B_i itself are e_i; a Pauli
-        # string σ = √d · B_i (since B_i = σ/√d), so:
-        self._proj_coords = jnp.asarray(
+        # string σ = √d · B_i (since B_i = σ/√d), so P₊ = (I + σ)/2 gives:
+        self.proj_coords = jnp.asarray(
             0.5 * (eye_coords[None, :] + np.sqrt(d) * np.eye(basis.n_ops))[1:],
             dtype=jnp.float32)  # (n_ops-1, n_ops)
 
     def propose(self, key, weights, locations, idx_exp):
-        n_choices = self._proj_coords.shape[0]
+        n_choices = self.proj_coords.shape[0]
         pick = jax.random.randint(key, (), 0, n_choices)
-        eps = {"meas": self._proj_coords[pick][None, :]}
+        eps = {"meas": self.proj_coords[pick][None, :]}
         for fname, val in self.other_fields.items():
             eps[fname] = jnp.atleast_1d(jnp.asarray(val))
         return eps
@@ -95,15 +96,23 @@ class RandomStabilizerStateHeuristic(Heuristic):
                 "RandomStabilizerStateHeuristic requires qubit systems")
         self.nq = len(basis.dims)
         self.basis = basis
+        # HOST-precomputed single-qubit stabilizer projector coordinates in
+        # the 1-qubit Pauli basis; multi-qubit coordinates factor as real
+        # Kronecker products because the Pauli basis is itself a tensor
+        # product basis (Tr((P_i⊗P_j)(A⊗B)) = Tr(P_i A)·Tr(P_j B)).
+        from .bases import pauli_basis
+
+        self.stabilizer_coords = jnp.asarray(
+            _projector_coords(pauli_basis(1), _STABILIZER_KETS),
+            dtype=jnp.float32)  # (6, 4)
 
     def propose(self, key, weights, locations, idx_exp):
         keys = jax.random.split(key, self.nq)
-        ket = jnp.ones((1,), dtype=jnp.complex64)
+        coords = jnp.ones((1,), dtype=jnp.float32)
         for k in keys:
             pick = jax.random.randint(k, (), 0, 6)
-            ket = jnp.kron(ket, jnp.asarray(_STABILIZER_KETS)[pick])
-        coords = _projector_coords(self.basis, ket[None, :])[0]
-        eps = {"meas": coords.astype(jnp.float32)[None, :]}
+            coords = jnp.kron(coords, self.stabilizer_coords[pick])
+        eps = {"meas": coords[None, :]}
         for fname, val in self.other_fields.items():
             eps[fname] = jnp.atleast_1d(jnp.asarray(val))
         return eps
@@ -129,19 +138,16 @@ class ProductHeuristic(Heuristic):
 
     def propose(self, key, weights, locations, idx_exp):
         keys = jax.random.split(key, len(self.sub_heuristics))
-        # each sub-heuristic proposes a 'meas' in ITS basis; combine by
-        # reconstructing the operators and taking the kron
-        ops = []
+        # Each sub-heuristic proposes 'meas' coordinates in its own basis;
+        # for tensor-product target bases (pauli_basis(n) et al.) the
+        # combined coordinates are the real Kronecker product of the
+        # per-subsystem coordinate vectors — no complex operator
+        # reconstruction on device.
+        coords = jnp.ones((1,), dtype=jnp.float32)
         for h, k in zip(self.sub_heuristics, keys):
             sub_eps = h.propose(k, weights, locations, idx_exp)
-            sub_basis = h.updater.model.basis
-            ops.append(sub_basis.modelparams_to_state(
-                sub_eps["meas"][0]))
-        op = ops[0]
-        for o in ops[1:]:
-            op = jnp.kron(op, o)
-        coords = self.basis.state_to_modelparams(op[None])[0]
-        eps = {"meas": coords.astype(jnp.float32)[None, :]}
+            coords = jnp.kron(coords, sub_eps["meas"][0])
+        eps = {"meas": coords[None, :]}
         for fname, val in self.other_fields.items():
             eps[fname] = jnp.atleast_1d(jnp.asarray(val))
         return eps

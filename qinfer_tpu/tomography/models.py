@@ -36,9 +36,14 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
     :param basis: a :class:`~qinfer_tpu.tomography.bases.TomographyBasis`.
     :param bool allow_subnormalized: accept Tr ρ < 1 states as valid.
     :param float psd_tol: eigenvalue tolerance for the positivity check.
+        The default covers TPU float32 eigh residuals (measured min
+        eigenvalue −7.6e-4 on genuinely-PSD Ginibre states via QDWH on the
+        real-embedded matrices; tighter tolerances flag every valid state
+        invalid on the axon backend, silently degrading Liu-West
+        postselection to bootstrap fallback).
     """
 
-    def __init__(self, basis, allow_subnormalized=False, psd_tol=1e-5):
+    def __init__(self, basis, allow_subnormalized=False, psd_tol=2e-3):
         super().__init__()
         self.basis = basis
         self.allow_subnormalized = bool(allow_subnormalized)
@@ -83,9 +88,16 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
 
     # -- Model contract ----------------------------------------------------
 
+    def _embedded_states(self, modelparams):
+        """E(ρ) for a particle batch, built by a REAL einsum from the
+        precomputed embedded basis — no complex arithmetic touches the
+        device (the axon TPU backend implements none)."""
+        return self.basis.coords_to_embedded(
+            self._full_coords(jnp.atleast_2d(modelparams)))
+
     def are_models_valid(self, modelparams):
-        rhos = self.modelparams_to_states(modelparams)
-        evals = hermitian_eigvalsh(rhos)  # real-embedded eigh (TPU-safe)
+        m = self._embedded_states(modelparams)
+        evals = jnp.linalg.eigvalsh(m)  # real symmetric; spectrum doubled
         psd = jnp.all(evals >= -self.psd_tol, axis=-1)
         if self.allow_subnormalized:
             return psd
@@ -96,16 +108,15 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
         renormalize the trace (the reference's canonicalization for
         tomography; SURVEY.md §7 hard part 2)."""
         modelparams = jnp.atleast_2d(modelparams)
-        rhos = self.modelparams_to_states(modelparams)
-
-        def clip_normalize(ev):
-            ev = jnp.clip(ev, 0.0, None)
-            # the embedded trace is 2·Tr(rho); normalize to embedded trace 2
-            tr = jnp.sum(ev, axis=-1, keepdims=True)
-            return 2.0 * ev / jnp.clip(tr, EPS, None)
-
-        rhos = hermitian_eigh_embedded(rhos, clip_normalize)
-        return self.states_to_modelparams(rhos).astype(modelparams.dtype)
+        m = self._embedded_states(modelparams)
+        ev, V = jnp.linalg.eigh(m)  # real symmetric eigh — TPU-safe
+        ev = jnp.clip(ev, 0.0, None)
+        # the embedded trace is 2·Tr(rho); normalize to embedded trace 2
+        tr = jnp.sum(ev, axis=-1, keepdims=True)
+        ev = 2.0 * ev / jnp.clip(tr, EPS, None)
+        m2 = jnp.einsum("nab,nb,ncb->nac", V, ev, V)
+        coords = self.basis.embedded_to_coords(m2)
+        return coords[..., 1:].astype(modelparams.dtype)
 
     def likelihood(self, outcomes, modelparams, expparams):
         """Born rule: Pr(0 | ρ; E) = Tr(Eρ) = e·x (coordinate dot product,
@@ -122,13 +133,23 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
     def fidelity_with(self, modelparams, sigma):
         """Uhlmann fidelity F(ρ, σ) of a particle batch against a fixed
         state σ (host-convenience; batched eigh)."""
-        rhos = self.modelparams_to_states(modelparams)
-        sig = jnp.asarray(sigma, dtype=rhos.dtype)
-        # F = (Tr sqrt(sqrt(σ) ρ sqrt(σ)))², via real-embedded eigh
-        sqrt_sig = hermitian_eigh_embedded(
-            sig[None], lambda ev: jnp.sqrt(jnp.clip(ev, 0.0, None)))[0]
-        M = jnp.einsum("ab,nbc,cd->nad", sqrt_sig, rhos, sqrt_sig)
-        ev = hermitian_eigvalsh(M)
+        import numpy as _np
+
+        m = self._embedded_states(modelparams)
+        # embed sigma HOST-side: complex arrays must never reach the device
+        sig_np = _np.asarray(sigma, dtype=_np.complex64)
+        sig_e = jnp.asarray(_np.block(
+            [[sig_np.real, -sig_np.imag],
+             [sig_np.imag, sig_np.real]]), dtype=jnp.float32)
+        # F = (Tr sqrt(sqrt(σ) ρ sqrt(σ)))² — everything in the real
+        # embedding: E is an algebra homomorphism, and the embedded
+        # product's spectrum doubles each complex eigenvalue, so the
+        # doubled-spectrum sqrt-sum halves back out via ev[..., ::2].
+        es, vs = jnp.linalg.eigh(sig_e)
+        sqrt_sig = jnp.einsum(
+            "ab,b,cb->ac", vs, jnp.sqrt(jnp.clip(es, 0.0, None)), vs)
+        M = jnp.einsum("ab,nbc,cd->nad", sqrt_sig, m, sqrt_sig)
+        ev = jnp.linalg.eigvalsh(M)[..., ::2]
         return jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0, None)), axis=-1) ** 2
 
 
@@ -155,6 +176,8 @@ class ProcessTomographyModel(TomographyModel):
     """
 
     def __init__(self, doubled_basis, system_basis, **kwargs):
+        import numpy as _np
+
         super().__init__(doubled_basis, **kwargs)
         self.system_basis = system_basis
         d = system_basis.dim
@@ -163,6 +186,20 @@ class ProcessTomographyModel(TomographyModel):
                 "doubled_basis must act on the square of system_basis's "
                 "dimension")
         self.hilbert_dim = d
+        # HOST-precomputed bilinear effect tensor: coordinates of
+        # d·(ρ_inᵀ ⊗ E) in the doubled basis are a bilinear function of the
+        # system-basis coordinates of ρ_in and E —
+        #   T[k, i, j] = d · Re Tr(C_k (B_iᵀ ⊗ B_j)).
+        # The on-device effect assembly is then ONE real einsum (the axon
+        # TPU backend has no complex arithmetic).
+        C = _np.asarray(doubled_basis.data)          # (d⁴, d², d²)
+        Bsys = _np.asarray(system_basis.data)        # (d², d, d)
+        BT = Bsys.transpose(0, 2, 1)                 # B_iᵀ
+        # kron over the batch pair (i, j): (d², d², d², d²) too big? d=2: 4·4
+        kron = _np.einsum("iab,jcd->ijacbd", BT, Bsys).reshape(
+            Bsys.shape[0], Bsys.shape[0], d * d, d * d)
+        T = d * _np.real(_np.einsum("kab,ijba->kij", C, kron))
+        self.effect_tensor = jnp.asarray(T, dtype=jnp.float32)
 
     @property
     def expparams_dtype(self):
@@ -177,15 +214,9 @@ class ProcessTomographyModel(TomographyModel):
         """
         prep = jnp.atleast_2d(eps["prep"])  # (n_e, d²) system coords
         meas = jnp.atleast_2d(eps["meas"])
-        rho_in = self.system_basis.modelparams_to_state(prep)  # (n_e, d, d)
-        eff = self.system_basis.modelparams_to_state(meas)
-        d = self.hilbert_dim
-        rho_t = rho_in.transpose(0, 2, 1)  # batched transpose (no conj)
-        # batched kron: (A ⊗ B)_{(i b),(k a)} = A_ik B_ba
-        combined = jnp.einsum("nik,nba->nibka", rho_t, eff)
-        combined = combined.reshape(-1, d * d, d * d)
-        coords = self.basis.state_to_modelparams(combined)
-        return float(d) * coords  # (n_e, d⁴)
+        # ONE real einsum through the host-precomputed bilinear tensor —
+        # no complex arithmetic on device
+        return jnp.einsum("kij,ni,nj->nk", self.effect_tensor, prep, meas)
 
     def likelihood(self, outcomes, modelparams, expparams):
         self._bump("_call_count")
@@ -197,7 +228,9 @@ class ProcessTomographyModel(TomographyModel):
 
     def apply_channel(self, modelparams, rho_in):
         """Λ(ρ_in) for each particle: Tr₁[(ρ_inᵀ ⊗ I) J], i.e.
-        Λ(ρ)_{ab} = Σ_{ik} ρ_{ki} J[(k a), (i b)]."""
+        Λ(ρ)_{ab} = Σ_{ik} ρ_{ki} J[(k a), (i b)].
+
+        Host-side convenience (uses complex reconstruction; run on CPU)."""
         d = self.hilbert_dim
         choi = self.modelparams_to_states(modelparams)  # (n, d², d²) ρ_Λ
         J4 = d * choi.reshape(-1, d, d, d, d)  # [n, k, a, i, b]

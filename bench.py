@@ -73,17 +73,7 @@ def build_run():
         key = jax.random.key(seed)
         k_prior, k_run = jax.random.split(key)
         locations = prior.sample(k_prior, N_PARTICLES)
-        return SMCState(
-            weights=jnp.full((N_PARTICLES,), 1.0 / N_PARTICLES,
-                             dtype=jnp.float32),
-            locations=locations,
-            key=k_run,
-            resample_count=jnp.asarray(0, dtype=jnp.int32),
-            just_resampled=jnp.asarray(False),
-            log_total_likelihood=jnp.asarray(0.0, dtype=jnp.float32),
-            min_n_ess=jnp.asarray(float(N_PARTICLES), dtype=jnp.float32),
-            zero_weight_count=jnp.asarray(0, dtype=jnp.int32),
-        ), jax.random.key(seed + 1)
+        return SMCState.initial(locations, k_run), jax.random.key(seed + 1)
 
     return run, make_state
 

@@ -72,22 +72,17 @@ def main():
 
         key = jax.random.key(0)
         kp, kr = jax.random.split(key)
+        base = SMCState.initial(prior.sample(kp, n_particles), kr)
         state = SMCState(
-            weights=jax.device_put(
-                jnp.full((n_particles,), 1.0 / n_particles,
-                         dtype=jnp.float32), shard),
-            locations=jax.device_put(prior.sample(kp, n_particles),
-                                     shard2d),
-            key=jax.device_put(kr, repl),
-            resample_count=jax.device_put(
-                jnp.asarray(0, jnp.int32), repl),
-            just_resampled=jax.device_put(jnp.asarray(False), repl),
+            weights=jax.device_put(base.weights, shard),
+            locations=jax.device_put(base.locations, shard2d),
+            key=jax.device_put(base.key, repl),
+            resample_count=jax.device_put(base.resample_count, repl),
+            just_resampled=jax.device_put(base.just_resampled, repl),
             log_total_likelihood=jax.device_put(
-                jnp.asarray(0.0, jnp.float32), repl),
-            min_n_ess=jax.device_put(
-                jnp.asarray(float(n_particles), jnp.float32), repl),
-            zero_weight_count=jax.device_put(
-                jnp.asarray(0, jnp.int32), repl),
+                base.log_total_likelihood, repl),
+            min_n_ess=jax.device_put(base.min_n_ess, repl),
+            zero_weight_count=jax.device_put(base.zero_weight_count, repl),
         )
         true = jax.device_put(jnp.array([[0.7]], dtype=jnp.float32), repl)
 

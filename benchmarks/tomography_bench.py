@@ -51,18 +51,8 @@ def main():
         model.states_to_modelparams(true_rho[None])))
 
     n = args.particles
-    key = jax.random.key(0)
-    k_prior, k_run = jax.random.split(key)
-    state = SMCState(
-        weights=jnp.full((n,), 1.0 / n, dtype=jnp.float32),
-        locations=prior.sample(k_prior, n),
-        key=k_run,
-        resample_count=jnp.asarray(0, jnp.int32),
-        just_resampled=jnp.asarray(False),
-        log_total_likelihood=jnp.asarray(0.0, jnp.float32),
-        min_n_ess=jnp.asarray(float(n), jnp.float32),
-        zero_weight_count=jnp.asarray(0, jnp.int32),
-    )
+    k_prior, k_run = jax.random.split(jax.random.key(0))
+    state = SMCState.initial(prior.sample(k_prior, n), k_run)
 
     # random-Pauli proposal, inlined jittably (coords precomputed host-side)
     u_stub = type("U", (), {})()

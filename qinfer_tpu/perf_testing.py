@@ -244,19 +244,8 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
 
     def make_trial(trial_key):
         k_prior, k_true, k_run = jax.random.split(trial_key, 3)
-        locations = prior.sample(k_prior, n_particles)
+        state = SMCState.initial(prior.sample(k_prior, n_particles), k_run)
         true_mps = prior.sample(k_true, 1)
-        state = SMCState(
-            weights=jnp.full((n_particles,), 1.0 / n_particles,
-                             dtype=jnp.float32),
-            locations=locations,
-            key=k_run,
-            resample_count=jnp.asarray(0, jnp.int32),
-            just_resampled=jnp.asarray(False),
-            log_total_likelihood=jnp.asarray(0.0, jnp.float32),
-            min_n_ess=jnp.asarray(float(n_particles), jnp.float32),
-            zero_weight_count=jnp.asarray(0, jnp.int32),
-        )
         return state, true_mps
 
     def run_trial(trial_key):

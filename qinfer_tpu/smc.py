@@ -84,6 +84,24 @@ class SMCState(NamedTuple):
     def n_modelparams(self):
         return self.locations.shape[1]
 
+    @classmethod
+    def initial(cls, locations, key):
+        """Fresh uniform-weight state over ``locations`` (the canonical
+        post-``reset`` state; used by the engine, benchmarks and the driver
+        entry points instead of hand-building all nine fields)."""
+        locations = jnp.asarray(locations)
+        n = locations.shape[0]
+        return cls(
+            weights=jnp.full((n,), 1.0 / n, dtype=jnp.float32),
+            locations=locations,
+            key=key,
+            resample_count=jnp.asarray(0, dtype=jnp.int32),
+            just_resampled=jnp.asarray(False),
+            log_total_likelihood=jnp.asarray(0.0, dtype=jnp.float32),
+            min_n_ess=jnp.asarray(float(n), dtype=jnp.float32),
+            zero_weight_count=jnp.asarray(0, dtype=jnp.int32),
+        )
+
 
 # ---------------------------------------------------------------------------
 # Pure jitted engine functions
@@ -187,12 +205,15 @@ def _reweight(model, weights, locations, outcome, eps, k_like):
 
 def _update_step_impl(model, resampler, state, outcome, eps,
                       resample_thresh, zero_weight_thresh,
-                      check_resample=True):
+                      check_resample=True, resample_gate=None):
     """One fused SMC update: reweight → (timestep) → ESS check → resample.
 
     Reference parity: ``smc.py::SMCUpdater.update`` +
     ``SMCUpdater._maybe_resample``, as a single compiled step.
-    Returns ``(new_state, normalization, was_zero)``.
+    ``resample_gate`` (optional traced bool) additionally gates the
+    resample — ``batch_update`` passes its every-``resample_interval``-steps
+    predicate through it so the scan body reuses this single
+    implementation. Returns ``(new_state, log_normalization, was_zero)``.
     """
     n = state.weights.shape[0]
     key = state.key
@@ -217,6 +238,8 @@ def _update_step_impl(model, resampler, state, outcome, eps,
 
     if check_resample:
         do_resample = ess <= resample_thresh * n
+        if resample_gate is not None:
+            do_resample = do_resample & resample_gate
         key, sub = jax.random.split(key)
         new_w, locs = jax.lax.cond(
             do_resample,
@@ -304,56 +327,17 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
     like the reference; here the check collapses into the scanned step as a
     traced predicate so the scan body stays a single compiled program.
     """
-    n = state.weights.shape[0]
+    check_now = check_resample and resample_interval > 0
 
     def step(carry, inp):
         st = carry
         outcome, eps, idx = inp
-        key0 = st.key
-        if getattr(model, "wants_likelihood_key", False):
-            key0, k_like = jax.random.split(key0)
-            st = st._replace(key=key0)
-        else:
-            k_like = None
-        hyp, norm, log_norm = _reweight(
-            model, st.weights, st.locations, outcome, eps, k_like)
-        was_zero = norm <= zero_weight_thresh
-        uniform = jnp.full_like(st.weights, 1.0 / n)
-        new_w = jnp.where(was_zero, uniform, hyp / jnp.maximum(norm, EPS))
-        log_total = st.log_total_likelihood + log_norm
-
-        key = st.key
-        locs = st.locations
-        if _is_time_dep(model):
-            key, sub = jax.random.split(key)
-            locs = model.update_timestep(sub, locs, eps)[:, :, 0]
-
-        ess = 1.0 / jnp.sum(new_w * new_w)
-        check_now = check_resample and resample_interval > 0
-        if check_now:
-            at_interval = (idx % resample_interval) == (resample_interval - 1)
-            do_resample = at_interval & (ess <= resample_thresh * n)
-            key, sub = jax.random.split(key)
-            new_w, locs = jax.lax.cond(
-                do_resample,
-                lambda args: resampler(model, sub, args[0], args[1]),
-                lambda args: args,
-                (new_w, locs),
-            )
-        else:
-            do_resample = jnp.asarray(False)
-
-        new_st = SMCState(
-            weights=new_w,
-            locations=locs,
-            key=key,
-            resample_count=st.resample_count + do_resample.astype(jnp.int32),
-            just_resampled=do_resample,
-            log_total_likelihood=log_total,
-            min_n_ess=jnp.minimum(st.min_n_ess, ess),
-            zero_weight_count=st.zero_weight_count
-            + was_zero.astype(jnp.int32),
-        )
+        gate = ((idx % resample_interval) == (resample_interval - 1)
+                if check_now else None)
+        new_st, log_norm, _ = _update_step_impl(
+            model, resampler, st, outcome, eps,
+            resample_thresh, zero_weight_thresh,
+            check_resample=check_now, resample_gate=gate)
         return new_st, log_norm
 
     n_steps = outcomes.shape[0]
@@ -483,17 +467,7 @@ class SMCUpdater:
         locations = self.prior.sample(k_prior, n)
         if self._canonicalize:
             locations = self.model.canonicalize(locations)
-        weights = jnp.full((n,), 1.0 / n, dtype=locations.dtype)
-        state = SMCState(
-            weights=weights,
-            locations=jnp.asarray(locations),
-            key=key,
-            resample_count=jnp.asarray(0, dtype=jnp.int32),
-            just_resampled=jnp.asarray(False),
-            log_total_likelihood=jnp.asarray(0.0, dtype=jnp.float32),
-            min_n_ess=jnp.asarray(float(n), dtype=jnp.float32),
-            zero_weight_count=jnp.asarray(0, dtype=jnp.int32),
-        )
+        state = SMCState.initial(locations, key)
         if self.sharding is not None:
             state = self._shard_state(state)
         self._state = state

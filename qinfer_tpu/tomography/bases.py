@@ -26,7 +26,9 @@ __all__ = [
     "tensor_product_basis",
     "hermitian_eigvalsh",
     "hermitian_eigh_embedded",
+    "assemble_embedding",
     "embed_hermitian",
+    "embed_hermitian_host",
     "unembed_hermitian",
 ]
 
@@ -42,13 +44,26 @@ __all__ = [
 # on every backend — and map back exactly.
 # ---------------------------------------------------------------------------
 
-def embed_hermitian(rho):
-    """(..., d, d) complex Hermitian → (..., 2d, 2d) real symmetric."""
-    re = jnp.real(rho)
-    im = jnp.imag(rho)
+def assemble_embedding(re, im):
+    """E(A + iB) = [[A, −B], [B, A]] for batched real blocks (..., d, d) —
+    the shared building block of every embedded computation (works on jnp
+    and on host numpy arrays alike via the caller's array namespace)."""
     top = jnp.concatenate([re, -im], axis=-1)
     bot = jnp.concatenate([im, re], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+def embed_hermitian_host(mat):
+    """HOST-side embedding of a complex NumPy matrix (complex values must
+    never reach the device): returns a real float32 numpy array."""
+    mat = np.asarray(mat, dtype=np.complex64)
+    return np.block([[mat.real, -mat.imag],
+                     [mat.imag, mat.real]]).astype(np.float32)
+
+
+def embed_hermitian(rho):
+    """(..., d, d) complex Hermitian → (..., 2d, 2d) real symmetric."""
+    return assemble_embedding(jnp.real(rho), jnp.imag(rho))
 
 
 def unembed_hermitian(m, d):
@@ -125,10 +140,10 @@ class TomographyBasis(Module):
         # (n_ops, 2d, 2d) real matrices via the embedding homomorphism
         # E(AB) = E(A)E(B).
         re, im = host.real, host.imag
-        top = np.concatenate([re, -im], axis=-1)
-        bot = np.concatenate([im, re], axis=-1)
-        self.data_embedded = jnp.asarray(
-            np.concatenate([top, bot], axis=-2), dtype=jnp.float32)
+        self.data_embedded = jnp.asarray(np.concatenate(
+            [np.concatenate([re, -im], axis=-1),
+             np.concatenate([im, re], axis=-1)], axis=-2),
+            dtype=jnp.float32)
 
     @property
     def data(self):

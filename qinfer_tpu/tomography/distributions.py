@@ -21,6 +21,8 @@ import jax.numpy as jnp
 
 from ..distributions import Distribution
 from ..config import EPS
+from .bases import assemble_embedding as _assemble_embedding, \
+    embed_hermitian_host
 
 __all__ = [
     "DensityOperatorDistribution",
@@ -29,13 +31,6 @@ __all__ = [
     "BCSZChoiDistribution",
     "GADFLIDistribution",
 ]
-
-
-def _assemble_embedding(re, im):
-    """E(A + iB) = [[A, −B], [B, A]] for batched real blocks (..., d, d)."""
-    top = jnp.concatenate([re, -im], axis=-1)
-    bot = jnp.concatenate([im, re], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
 
 
 class DensityOperatorDistribution(Distribution):
@@ -186,14 +181,10 @@ class GADFLIDistribution(DensityOperatorDistribution):
 
     def __init__(self, basis, fiducial_state, alpha=1.0, beta=9.0,
                  rank=None):
-        import numpy as _np
-
         super().__init__(basis)
-        fid = _np.asarray(fiducial_state, dtype=_np.complex64)
         # embed host-side; stored as a real pytree leaf
-        self.fiducial_embedded = jnp.asarray(_np.block(
-            [[fid.real, -fid.imag], [fid.imag, fid.real]]),
-            dtype=jnp.float32)
+        self.fiducial_embedded = jnp.asarray(
+            embed_hermitian_host(fiducial_state))
         self.alpha = float(alpha)
         self.beta = float(beta)
         self.rank = int(rank) if rank is not None else None

@@ -21,8 +21,7 @@ import jax.numpy as jnp
 from ..abstract_model import DifferentiableModel, FiniteOutcomeModel, \
     n_expparams
 from ..config import EPS
-from .bases import hermitian_eigvalsh, hermitian_eigh_embedded, \
-    embed_hermitian
+from .bases import embed_hermitian_host
 
 __all__ = ["TomographyModel", "DiffusiveTomographyModel",
            "ProcessTomographyModel"]
@@ -133,14 +132,9 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
     def fidelity_with(self, modelparams, sigma):
         """Uhlmann fidelity F(ρ, σ) of a particle batch against a fixed
         state σ (host-convenience; batched eigh)."""
-        import numpy as _np
-
         m = self._embedded_states(modelparams)
         # embed sigma HOST-side: complex arrays must never reach the device
-        sig_np = _np.asarray(sigma, dtype=_np.complex64)
-        sig_e = jnp.asarray(_np.block(
-            [[sig_np.real, -sig_np.imag],
-             [sig_np.imag, sig_np.real]]), dtype=jnp.float32)
+        sig_e = jnp.asarray(embed_hermitian_host(sigma))
         # F = (Tr sqrt(sqrt(σ) ρ sqrt(σ)))² — everything in the real
         # embedding: E is an algebra homomorphism, and the embedded
         # product's spectrum doubles each complex eigenvalue, so the

@@ -69,11 +69,15 @@ def arrays_to_state(arrays, sharding=None):
 
 def save_updater(path, updater):
     """Checkpoint an updater's full inference state (ensemble + records) to
-    one ``.npz`` file."""
+    one ``.npz`` file (``np.savez`` appends the extension if missing)."""
     arrays = state_to_arrays(updater.state)
-    arrays["__data_record"] = np.asarray(
-        [np.asarray(o, dtype=np.float64).ravel()[0]
-         for o in updater.data_record], dtype=np.float64)
+    if updater.data_record:
+        # preserves vector-valued outcomes (outcome_ndim > 0 models) —
+        # records within one run share a shape, so a plain stack works
+        arrays["__data_record"] = np.asarray(
+            [np.asarray(o, dtype=np.float64) for o in updater.data_record])
+    else:
+        arrays["__data_record"] = np.zeros((0,), dtype=np.float64)
     arrays["__normalization_record"] = np.asarray(
         updater.normalization_record, dtype=np.float64)
     np.savez(path, **arrays)
@@ -82,12 +86,18 @@ def save_updater(path, updater):
 def load_updater(path, updater):
     """Restore state saved by :func:`save_updater` into an existing updater
     (which supplies model/prior/resampler config). Returns the updater."""
-    loaded = dict(np.load(path))
+    try:
+        loaded = dict(np.load(path))
+    except FileNotFoundError:
+        # np.savez appended '.npz' on save; mirror that here
+        loaded = dict(np.load(str(path) + ".npz"))
     data_record = loaded.pop("__data_record")
     norm_record = loaded.pop("__normalization_record")
     updater.state = arrays_to_state(loaded, sharding=updater.sharding)
     updater.data_record = list(data_record)
     updater.normalization_record = list(norm_record)
+    # keep host-side bookkeeping consistent with the restored ensemble
+    updater._n_particles = int(updater.state.weights.shape[0])
     return updater
 
 
@@ -100,7 +110,7 @@ def save_updater_orbax(path, updater):
     ckptr.save(path, arrays, force=True)
     ckptr.wait_until_finished()
     meta = {
-        "data_record": [float(np.asarray(o, dtype=np.float64).ravel()[0])
+        "data_record": [np.asarray(o, dtype=np.float64).tolist()
                         for o in updater.data_record],
         "normalization_record": [float(x)
                                  for x in updater.normalization_record],

@@ -416,8 +416,10 @@ class MixtureDistribution(Distribution):
 
     def __init__(self, weights, dist, dist_args=None, dist_kw_args=None,
                  shuffle=True):
+        # ``shuffle`` is accepted for reference API parity but vacuous here:
+        # components are already assigned per-row at random in sample().
+        del shuffle
         self.weights = jnp.asarray(weights, dtype=jnp.float32)
-        self.shuffle = bool(shuffle)
         if isinstance(dist, (list, tuple)):
             self.components = list(dist)
         else:
@@ -426,13 +428,10 @@ class MixtureDistribution(Distribution):
             kwargs = dist_kw_args if dist_kw_args is not None else [{}] * n_comp
             comps = []
             for i in range(n_comp):
-                a = args[i] if not isinstance(args[i], dict) else ()
-                kw = kwargs[i] if dist_kw_args is not None else {}
                 if isinstance(args[i], dict):
-                    kw = {**args[i], **kw}
-                    comps.append(dist(**kw))
+                    comps.append(dist(**{**args[i], **kwargs[i]}))
                 else:
-                    comps.append(dist(*np.atleast_1d(a), **kw))
+                    comps.append(dist(*np.atleast_1d(args[i]), **kwargs[i]))
             self.components = comps
         if len(self.components) != self.weights.shape[0]:
             raise ValueError("len(weights) must match number of components")
@@ -495,6 +494,19 @@ class PostselectedDistribution(Distribution):
         valid = self.model.are_models_valid(init)
         keys = jax.random.split(krest, self.maxiters)
         (samples, valid), _ = jax.lax.scan(body, (init, valid), keys)
+        if not isinstance(valid, jax.core.Tracer):
+            # host-level call (the usual case: updater.reset): match the
+            # reference, which RAISES when maxiters is exhausted, instead
+            # of silently seeding the ensemble with invalid particles.
+            # Inside jit (traced) the bounded best-effort result stands.
+            n_bad = int(jnp.sum(~valid))
+            if n_bad:
+                raise RuntimeError(
+                    f"PostselectedDistribution: {n_bad}/{n} samples still "
+                    f"invalid after {self.maxiters} rejection rounds — "
+                    "the model's validity region has very low acceptance "
+                    "under the base distribution; raise maxiters or fix "
+                    "the base distribution's support")
         return samples
 
 

@@ -23,7 +23,6 @@ import enum
 import numpy as np
 import jax.numpy as jnp
 
-from .abstract_model import n_expparams
 from .finite_difference import FiniteDifference
 
 __all__ = ["ExperimentDesigner", "OptimizationAlgorithms"]
@@ -143,7 +142,10 @@ class ExperimentDesigner:
                 best_x, best_risk = float(np.atleast_1d(res[0])[0]), float(res[1])
 
         if store_guess:
-            if best_risk < self._best_risk:
+            if best_risk < self._best_risk or self._best_guess is None:
+                # (the None guard covers a first call whose risks were all
+                # NaN — keep the computed candidate rather than unpacking
+                # an empty store)
                 self._best_risk = best_risk
                 self._best_guess = (best_x, dict(base_eps))
             else:

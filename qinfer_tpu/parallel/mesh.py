@@ -75,14 +75,21 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
                          process_id=None):
     """Initialize multi-host JAX (the ipyparallel-controller replacement).
 
-    Thin wrapper over ``jax.distributed.initialize``; no-ops gracefully when
-    already initialized or when running single-host.
+    Thin wrapper over ``jax.distributed.initialize``; returns without
+    calling it for single-host runs (no coordinator given) and tolerates
+    re-initialization — but genuine misconfiguration (bad coordinator
+    address, inconsistent process counts) propagates instead of silently
+    degrading to single-process (which would make later cross-host
+    collectives hang with no diagnostic).
     """
+    if coordinator_address is None and num_processes in (None, 1):
+        return  # single-host: nothing to initialize
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except (RuntimeError, ValueError):
-        # already initialized, or single-host run without coordinator
-        pass
+    except RuntimeError as err:
+        if "already" in str(err).lower():
+            return
+        raise

@@ -131,7 +131,9 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
 
     for i in range(n_trials):
         if apply is not None:
-            results[i] = apply(one_trial, i)
+            r = apply(one_trial, i)
+            # ipyparallel-style executors return AsyncResult handles
+            results[i] = r.get() if hasattr(r, "get") else r
         else:
             results[i] = one_trial(i)
         if prog is not None and hasattr(prog, "update"):
@@ -157,8 +159,6 @@ def perf_test_scan(model, n_particles, prior, n_exp, heuristic_factory=None,
         committed) and a dict of per-step arrays
         ``{loss, ess, norm, est}`` (device arrays).
     """
-    from .resamplers import LiuWestResampler
-
     key = jax.random.key(seed)
     if true_mps is None:
         key, k_true = jax.random.split(key)
@@ -202,7 +202,8 @@ def perf_test_scan(model, n_particles, prior, n_exp, heuristic_factory=None,
 
 def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
                          resample_thresh=0.5, resampler=None, seed=0,
-                         mesh=None, axis_name="trials"):
+                         mesh=None, axis_name="trials",
+                         zero_weight_thresh=1e-10):
     """Trial-parallel fully-compiled adaptive inference.
 
     The TPU-native replacement for the reference's ipyparallel trial
@@ -226,10 +227,9 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
     """
     from .resamplers import LiuWestResampler
     from .smc import SMCState, _update_step_impl
-    from .heuristics import PGH
 
     resampler = resampler if resampler is not None else LiuWestResampler()
-    zero_thresh = 1e-10
+    zero_thresh = float(zero_weight_thresh)
     Q = model.Q
     d = model.n_modelparams
 
@@ -244,7 +244,9 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
 
     def make_trial(trial_key):
         k_prior, k_true, k_run = jax.random.split(trial_key, 3)
-        state = SMCState.initial(prior.sample(k_prior, n_particles), k_run)
+        # match SMCUpdater.reset: prior samples are canonicalized
+        locations = model.canonicalize(prior.sample(k_prior, n_particles))
+        state = SMCState.initial(locations, k_run)
         true_mps = prior.sample(k_true, 1)
         return state, true_mps
 

@@ -101,3 +101,42 @@ def test_bcrb_adaptive_vs_prior_ensembles():
     expect = sum((k + 1.0) ** 2 for k in range(10))
     assert np.isclose(un.current_bim[0, 0], expect, rtol=1e-3)
     assert np.isclose(ua.current_bim[0, 0], expect, rtol=1e-3)
+
+
+def test_checkpoint_vector_outcomes_roundtrip(tmp_path):
+    """Code-review regression: data_record entries with vector outcomes
+    (multinomial counts) must survive the checkpoint intact."""
+    die = q.NDieModel(3)
+    m = q.MultinomialModel(die, n_meas_max=10)
+    u = q.SMCUpdater(m, 200, q.MVUniformDistribution(3), seed=0)
+    eps = {"exp_num": jnp.array([0]), "n_meas": jnp.array([10])}
+    u.update(jnp.array([5, 3, 2]), eps, check_for_resample=False)
+    u.update(jnp.array([4, 4, 2]), eps, check_for_resample=False)
+    path = tmp_path / "vec_ckpt.npz"
+    q.save_updater(path, u)
+    u2 = q.SMCUpdater(m, 200, q.MVUniformDistribution(3), seed=1)
+    q.load_updater(path, u2)
+    np.testing.assert_array_equal(
+        np.asarray(u2.data_record), [[5, 3, 2], [4, 4, 2]])
+
+
+def test_checkpoint_extensionless_path_roundtrip(tmp_path):
+    """Code-review regression: np.savez appends '.npz'; load must too."""
+    u = _run_updater(n=200, steps=5)
+    path = str(tmp_path / "noext")
+    q.save_updater(path, u)
+    u2 = q.SMCUpdater(q.SimplePrecessionModel(), 200,
+                      q.UniformDistribution([[0, 1]]), seed=5)
+    q.load_updater(path, u2)
+    np.testing.assert_allclose(np.asarray(u2.est_mean()),
+                               np.asarray(u.est_mean()), atol=1e-7)
+
+
+def test_checkpoint_restores_n_particles(tmp_path):
+    u = _run_updater(n=800, steps=5)
+    path = tmp_path / "big.npz"
+    q.save_updater(path, u)
+    u2 = q.SMCUpdater(q.SimplePrecessionModel(), 100,
+                      q.UniformDistribution([[0, 1]]), seed=5)
+    q.load_updater(path, u2)
+    assert u2.n_particles == 800

@@ -196,3 +196,14 @@ def test_hilbert_schmidt_uniform(key):
     d = q.HilbertSchmidtUniform()
     s = draw(d, key, 2000)
     assert np.all(np.linalg.norm(s, axis=1) <= 1.0 + 1e-5)
+
+
+def test_postselected_raises_on_exhaustion(key):
+    """Code-review regression: host-level sampling must RAISE (like the
+    reference) when the validity region is essentially unreachable, not
+    silently return invalid particles."""
+    model = q.SimplePrecessionModel(min_freq=0.999999)
+    d = q.PostselectedDistribution(
+        q.UniformDistribution([[0.0, 1.0]]), model, maxiters=2)
+    with pytest.raises(RuntimeError, match="still"):
+        d.sample(key, 2000)

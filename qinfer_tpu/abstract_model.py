@@ -326,9 +326,12 @@ class FiniteOutcomeModel(Model):
         )
 
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
-        self._bump("_sim_count", int(repeat) * int(np.shape(modelparams)[0]) if np.ndim(modelparams) else int(repeat))
         modelparams = jnp.atleast_2d(modelparams)
         eps = self.canonicalize_expparams(expparams)
+        # reference bookkeeping: one count per (model, experiment, repeat)
+        self._bump("_sim_count",
+                   int(repeat) * int(modelparams.shape[0])
+                   * int(n_expparams(eps)))
         outcomes = self.outcomes(expparams)
         L = self.likelihood(outcomes, modelparams, eps)
         # (n_outcomes, n_models, n_eps) -> categorical over outcome axis

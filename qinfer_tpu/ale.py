@@ -131,7 +131,9 @@ class ALEApproximateModel(FiniteOutcomeModel):
         outcomes = jnp.atleast_1d(outcomes)
         sims = self.simulator.simulate_experiment(
             key, modelparams, eps, repeat=self.n_samples
-        )  # (n_samples, n_m, n_e)
+        )  # (n_samples, n_m, n_e); repeat==1 comes back squeezed
+        if self.n_samples == 1:
+            sims = sims[None]
         counts = jnp.sum(
             sims[None, :, :, :] == outcomes[:, None, None, None], axis=1
         )  # (n_out, n_m, n_e)

@@ -85,14 +85,20 @@ class PGH(Heuristic):
         j = jax.random.categorical(k2, logits.at[i].set(-jnp.inf), shape=())
         x1 = locations[i]
         x2 = locations[j]
-        sep = jnp.linalg.norm(x1 - x2)
+        model = getattr(self._updater, "model", None)
+        if model is not None:
+            # Q-weighted distance (reference parity: PGH uses
+            # model.distance, not the raw euclidean norm — parameters on
+            # different scales would otherwise mis-scale every proposal)
+            sep = model.distance(x1[None, :], x2[None, :])[0]
+        else:
+            sep = jnp.linalg.norm(x1 - x2)
         t = 1.0 / jnp.maximum(sep, self.min_separation)
         if self.t_func is not None:
             t = self.t_func(t)
         eps = {self.t_field: jnp.atleast_1d(t)}
         # inversion fields: one scalar field per model parameter when the
         # model exposes them (e.g. SimpleInversionModel's 'w_')
-        model = getattr(self._updater, "model", None)
         inv = x1 if self.inv_func is None else self.inv_func(x1)
         if model is not None:
             names = [f[0] for f in model.expparams_dtype]
@@ -127,7 +133,13 @@ class ExpSparseHeuristic(Heuristic):
         self.other_fields = dict(other_fields or {})
 
     def propose(self, key, weights, locations, idx_exp):
-        t = self.scale * self.base ** idx_exp.astype(jnp.float32)
+        # computed in log space and clamped: float32 base**idx overflows to
+        # inf at idx >= 128 (base=2), which would silently NaN the whole
+        # posterior through cos(inf)
+        log_t = (jnp.log(jnp.asarray(self.scale))
+                 + idx_exp.astype(jnp.float32) * jnp.log(
+                     jnp.asarray(self.base)))
+        t = jnp.exp(jnp.minimum(log_t, 60.0))  # cap at e^60 ~ 1.1e26
         eps = {self.t_field: jnp.atleast_1d(t)}
         for fname, val in self.other_fields.items():
             eps[fname] = jnp.atleast_1d(jnp.asarray(val))

@@ -60,8 +60,10 @@ class AcceleratedPrecessionModel(SimplePrecessionModel):
         normalization + ESS partials) as ONE Pallas pass over HBM.
 
         The SMC engine calls this instead of ``likelihood`` when a model
-        provides it (``smc.py::_reweight``); returns
-        ``(new_weights, log_norm)``.
+        provides it (``smc.py::_reweight``). Contract: returns
+        ``(unnormalized_hyp_weights, linear_norm)`` — the engine performs
+        the normalization and takes the log for the evidence record — or
+        ``None`` to fall back to the likelihood path.
         """
         n = locations.shape[0]
         if n % (_ROWS * _LANES):

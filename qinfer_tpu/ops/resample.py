@@ -19,9 +19,11 @@ multinomial draw (``src/qinfer/resamplers.py::LiuWestResampler.__call__``)
 with the lower-variance stratified scheme (PAPERS.md: Murray et al.,
 "Parallel resampling in the particle filter").
 
-A Pallas kernel for step 2+3 exists below (`_multiplicity_kernel`) for the
-fused path; the XLA formulation is the default since cumsum dominates and
-XLA's implementation already saturates HBM bandwidth.
+The production engine uses the merge-rank / gather-free formulations in
+:mod:`qinfer_tpu.resamplers`; this module keeps the counting formulation
+(`ancestor_multiplicities`) as the reference statement of the algorithm
+and for diagnostics — a fused Pallas streaming-merge kernel remains a
+round-2 lever (docs/PERF_NOTES.md "Next levers").
 """
 
 from __future__ import annotations

@@ -688,9 +688,10 @@ class SMCUpdater:
 
         Reference parity: ``SMCUpdater.est_meanfn`` (vmapped on-device).
         """
-        fx = jax.vmap(fn)(self._state.locations)
-        return jax.tree_util.tree_map(
-            lambda leaf: jnp.tensordot(self._state.weights, leaf, axes=1), fx)
+        from .utils import particle_meanfn
+
+        return particle_meanfn(
+            self._state.weights, self._state.locations, fn)
 
     def est_covariance_mtx(self, corr=False):
         """Posterior covariance (or correlation) matrix.
@@ -1091,15 +1092,19 @@ class SMCUpdaterBCRB(SMCUpdater):
 
     def update(self, outcome, expparams, check_for_resample=True):
         eps = self.model.canonicalize_expparams(expparams)
+        if n_expparams(eps) != 1:
+            # like the base updater, only the FIRST experiment of a batch
+            # is consumed — slice BEFORE the Fisher evaluation so no
+            # autodiff work is done for discarded columns
+            eps = expparams_at(eps, 0)
         if self.adaptive:
             w = self._state.weights
             locs = self._state.locations
         else:
             w = self._initial_weights
             locs = self._initial_locations
-        fi = self.model.fisher_information(locs, eps)  # (d, d, n, n_e)
-        expected_fi = np.asarray(
-            jnp.einsum("ijnE,n->ij", fi[:, :, :, :1], w))
+        fi = self.model.fisher_information(locs, eps)  # (d, d, n, 1)
+        expected_fi = np.asarray(jnp.einsum("ijnE,n->ij", fi, w))
         self._current_bim = self._current_bim + expected_fi
-        super().update(outcome, expparams,
+        super().update(outcome, eps,
                        check_for_resample=check_for_resample)

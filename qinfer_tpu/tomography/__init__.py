@@ -23,6 +23,11 @@ from .distributions import (
 )
 from .models import (TomographyModel, DiffusiveTomographyModel,
                      ProcessTomographyModel)
+from .plotting_tools import (
+    rebit_coords,
+    plot_rebit_posterior,
+    plot_decaying_exponentials,
+)
 from .expdesign import (
     RandomPauliHeuristic,
     RandomStabilizerStateHeuristic,
@@ -31,6 +36,9 @@ from .expdesign import (
 )
 
 __all__ = [
+    "rebit_coords",
+    "plot_rebit_posterior",
+    "plot_decaying_exponentials",
     "TomographyBasis",
     "pauli_basis",
     "gell_mann_basis",

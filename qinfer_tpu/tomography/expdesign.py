@@ -135,6 +135,18 @@ class ProductHeuristic(Heuristic):
             [updater] * len(sub_heuristic_classes)
         self.sub_heuristics = [
             cls(u) for cls, u in zip(sub_heuristic_classes, subs)]
+        # the kron of per-subsystem coordinate proposals must land exactly
+        # on the target basis — catch the (easy) mistake of binding
+        # sub-heuristics to the full multi-subsystem updater up front
+        prod = 1
+        for h in self.sub_heuristics:
+            prod *= h.updater.model.basis.n_ops
+        if prod != basis.n_ops:
+            raise ValueError(
+                f"ProductHeuristic: sub-heuristic bases combine to "
+                f"{prod} coordinates but the target basis has "
+                f"{basis.n_ops}; pass sub_updaters built on the "
+                f"per-subsystem bases (e.g. pauli_basis(1) models)")
 
     def propose(self, key, weights, locations, idx_exp):
         keys = jax.random.split(key, len(self.sub_heuristics))

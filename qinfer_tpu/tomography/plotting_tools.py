@@ -55,8 +55,10 @@ def plot_rebit_posterior(updater, prior=None, true_state=None, n_std=3,
                    color="0.6", label="prior")
     ax.scatter(pts[:, 0], pts[:, 1], s=1e3 * w, alpha=0.3, label="posterior")
 
-    mean = np.average(pts, axis=0, weights=w)
-    cov = np.cov(pts.T, aweights=w)
+    from ..utils import weighted_moments
+
+    mean, cov = (np.asarray(x) for x in weighted_moments(
+        w / w.sum(), pts))
     evals, evecs = np.linalg.eigh(cov)
     angle = np.degrees(np.arctan2(evecs[1, -1], evecs[0, -1]))
     ax.add_patch(Ellipse(mean, 2 * n_std * np.sqrt(evals[-1]),

@@ -316,3 +316,20 @@ def test_poisoned_noise_fresh_per_step():
     eps = {"t": jnp.full((8,), 1.0)}
     norms = np.asarray(u.batch_update(outs, eps))
     assert len(np.unique(np.round(norms, 8))) > 4
+
+
+def test_ale_single_sample_budget():
+    """Review regression: n_samples==1 must not crash (simulate squeezes
+    the repeat axis; likelihood re-adds it)."""
+    import warnings as _w
+
+    sim = q.SimplePrecessionModel()
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        m = q.ALEApproximateModel(sim, error_tol=1.0, min_samp=1,
+                                  samp_step=1, max_samp=1)
+    assert m.n_samples == 1
+    L = m.likelihood(jnp.array([0]), jnp.ones((4, 1)) * 0.5,
+                     {"t": jnp.array([1.0])}, key=jax.random.key(0))
+    assert L.shape == (1, 4, 1)
+    assert np.all(np.isfinite(np.asarray(L)))

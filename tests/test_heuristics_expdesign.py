@@ -190,3 +190,36 @@ def test_designer_cost_weighting_continuous():
     r1eps, _ = d._risk_of(eps, "t", jnp.array([2.0]), cost_scale_k=1.0 + 1e-7)
     assert np.isclose(r1[0] - r0[0], 2.0, atol=1e-3)  # cost = t = 2
     assert np.isclose(r1[0], r1eps[0], atol=1e-3)     # continuous in k
+
+
+def test_exp_sparse_no_overflow_at_large_index(key):
+    """Review regression: float32 base**idx overflows to inf at idx>=128,
+    NaN-ing the posterior through cos(inf); log-space clamp keeps t finite."""
+    model = q.SimplePrecessionModel()
+    u = q.SMCUpdater(model, 200, q.UniformDistribution([[0, 1]]), seed=0)
+    h = q.ExpSparseHeuristic(u)
+    eps = h(idx_exp=jnp.asarray(500))
+    t = float(np.asarray(eps["t"])[0])
+    assert np.isfinite(t)
+    u.update(0, eps)
+    assert np.all(np.isfinite(np.asarray(u.est_mean())))
+
+
+def test_pgh_uses_q_weighted_distance(key):
+    """Review regression: PGH must use the model's Q-weighted distance
+    (reference: expdesign.py::PGH via model.distance), not the raw norm."""
+
+    class ScaledQModel(q.SimplePrecessionModel):
+        @property
+        def Q(self):
+            return jnp.array([4.0])
+
+    u_plain = q.SMCUpdater(q.SimplePrecessionModel(), 200,
+                           q.UniformDistribution([[0, 1]]), seed=0)
+    u_scaled = q.SMCUpdater(ScaledQModel(), 200,
+                            q.UniformDistribution([[0, 1]]), seed=0)
+    k = jax.random.key(3)
+    t_plain = float(np.asarray(q.PGH(u_plain)(k)["t"])[0])
+    t_scaled = float(np.asarray(q.PGH(u_scaled)(k)["t"])[0])
+    # distance scales by sqrt(Q)=2 -> proposed time halves
+    assert np.isclose(t_scaled, t_plain / 2.0, rtol=1e-5)

@@ -327,3 +327,24 @@ def test_in_credible_region_est_cov():
     got = u.in_credible_region(
         np.concatenate([mean, far]), level=0.95, method="est_cov")
     assert got[0] and not got[1]
+
+
+def test_bcrb_consumes_only_first_experiment_of_batch():
+    """Review regression: like the base updater, SMCUpdaterBCRB must slice
+    the batch to its first experiment BEFORE the Fisher evaluation."""
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u = q.SMCUpdaterBCRB(model, 200, prior, adaptive=False, seed=0)
+    eps = {"t": jnp.array([3.0, 100.0, 200.0])}
+    u.update(0, eps)
+    # precession Fisher info is t^2; only t=3 may contribute
+    assert np.isclose(u.current_bim[0, 0], 9.0, rtol=1e-3)
+
+
+def test_sim_count_bookkeeping():
+    """Review regression: sim_count = n_models * n_expparams * repeat."""
+    model = q.SimplePrecessionModel()
+    mps = jnp.ones((5, 1)) * 0.5
+    eps = {"t": jnp.array([1.0, 2.0, 3.0])}
+    model.simulate_experiment(jax.random.key(0), mps, eps, repeat=2)
+    assert model.sim_count == 5 * 3 * 2

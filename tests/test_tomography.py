@@ -336,3 +336,15 @@ def test_rebit_coords_are_x_and_z():
     mps = model.states_to_modelparams(jnp.asarray(rho)[None])
     xz = rebit_coords(model, mps)
     np.testing.assert_allclose(xz[0], [0.6, 0.8], atol=1e-5)
+
+
+def test_product_heuristic_rejects_dimension_mismatch():
+    """Review regression: defaulting sub_updaters to the full multi-qubit
+    updater makes the kron'd proposal dimension explode; init must raise."""
+    basis2 = q.tomography.pauli_basis(2)
+    model = q.tomography.TomographyModel(basis2)
+    prior = q.tomography.GinibreDistribution(basis2)
+    u = q.SMCUpdater(model, 100, prior, seed=0)
+    with pytest.raises(ValueError, match="sub_updaters"):
+        q.tomography.ProductHeuristic(
+            u, basis2, [q.tomography.RandomPauliHeuristic] * 2)

@@ -6,13 +6,14 @@ adapt_hedge)`` wrapping a :class:`~qinfer_tpu.abstract_model.Simulatable`
 that has no analytic likelihood, plus the hedged-beta estimator helpers
 ``binom_est_p`` / ``binom_est_error``.
 
-TPU-native stance: instead of the reference's host loop that keeps adding
-``samp_step`` simulations until the standard error drops below tolerance,
-the sample budget here is resolved to a **static** count
-``n = clamp(ceil(hedge-budget for error_tol), min_samp, max_samp)`` so the
-whole estimate is one fixed-shape batched simulation under jit. A host-side
-``ApproximationWarning`` fires when ``max_samp`` cannot reach the requested
-tolerance (the reference warns in the same situation).
+TPU-native stance: the reference hosts a loop that keeps adding
+``samp_step`` simulations until the standard error drops below tolerance.
+Here the same adaptivity runs *inside* jit: fixed-shape chunks of
+``samp_step`` simulations accumulate under a ``lax.while_loop`` whose trip
+count is data-dependent but whose every iteration is static-shaped, capped
+by the worst-case budget ``n = clamp(0.25/tol^2, min_samp, max_samp)``. A
+host-side ``ApproximationWarning`` fires when ``max_samp`` cannot reach the
+requested tolerance (the reference warns in the same situation).
 """
 
 from __future__ import annotations
@@ -58,6 +59,11 @@ class ALEApproximateModel(FiniteOutcomeModel):
     :param float est_hedge: hedging for the returned estimate.
     :param float adapt_hedge: hedging used when sizing the sample budget.
     :param int max_samp: static cap on simulations (TPU fixed-shape budget).
+    :param bool adaptive: when True (default), accumulate ``samp_step``-size
+        simulation chunks under a ``lax.while_loop`` until the worst-cell
+        standard error meets ``error_tol`` (jit-compatible adaptivity —
+        reference parity with the host resampling loop); when False, always
+        draw the full static worst-case budget in one batch.
     """
 
     #: The engine threads a fresh per-step PRNG key into ``likelihood`` so
@@ -66,10 +72,11 @@ class ALEApproximateModel(FiniteOutcomeModel):
 
     def __init__(self, simulator, error_tol=1e-2, min_samp=1,
                  samp_step=10, est_hedge=0.509, adapt_hedge=0.509,
-                 max_samp=None):
+                 max_samp=None, adaptive=True):
         super().__init__()
         if error_tol <= 0 or error_tol > 1:
             raise ValueError("error_tol must be in (0, 1]")
+        self.adaptive = bool(adaptive)
         self.simulator = simulator
         self.error_tol = float(error_tol)
         self.min_samp = int(min_samp)
@@ -119,9 +126,17 @@ class ALEApproximateModel(FiniteOutcomeModel):
     # -- the approximation -------------------------------------------------
 
     def likelihood(self, outcomes, modelparams, expparams, key=None):
-        """Monte-Carlo likelihood: simulate ``n_samples`` outcomes per
-        (model, experiment) cell and return hedged frequency estimates for
-        each requested outcome.
+        """Monte-Carlo likelihood: simulate outcomes per (model,
+        experiment) cell and return hedged frequency estimates for each
+        requested outcome.
+
+        With ``adaptive=True`` (the default) the sample count is genuinely
+        adaptive, like the reference's host loop — but jit-compatible:
+        fixed-size chunks of ``samp_step`` simulations accumulate under a
+        ``lax.while_loop`` until the worst-cell hedged standard error drops
+        below ``error_tol`` (or the ``n_samples`` static cap is hit). Every
+        chunk has static shapes, so the whole estimate stays one compiled
+        program; only the *trip count* is data-dependent.
         """
         self._bump("_call_count")
         if key is None:
@@ -129,16 +144,44 @@ class ALEApproximateModel(FiniteOutcomeModel):
         modelparams = jnp.atleast_2d(modelparams)
         eps = self.canonicalize_expparams(expparams)
         outcomes = jnp.atleast_1d(outcomes)
-        sims = self.simulator.simulate_experiment(
-            key, modelparams, eps, repeat=self.n_samples
-        )  # (n_samples, n_m, n_e); repeat==1 comes back squeezed
-        if self.n_samples == 1:
-            sims = sims[None]
-        counts = jnp.sum(
-            sims[None, :, :, :] == outcomes[:, None, None, None], axis=1
-        )  # (n_out, n_m, n_e)
-        return binom_est_p(counts.astype(jnp.float32), self.n_samples,
-                           self.est_hedge)
+
+        def chunk_counts(k, n_rep):
+            sims = self.simulator.simulate_experiment(
+                k, modelparams, eps, repeat=n_rep)
+            if n_rep == 1:  # repeat==1 comes back squeezed
+                sims = sims[None]
+            return jnp.sum(
+                sims[None, :, :, :] == outcomes[:, None, None, None],
+                axis=1).astype(jnp.float32)  # (n_out, n_m, n_e)
+
+        if not self.adaptive or self.samp_step >= self.n_samples:
+            counts = chunk_counts(key, self.n_samples)
+            return binom_est_p(counts, self.n_samples, self.est_hedge)
+
+        step = self.samp_step
+        max_iters = -(-self.n_samples // step)  # ceil
+
+        def cond(carry):
+            i, counts, _ = carry
+            n = i * step
+            p = binom_est_p(counts, n, self.adapt_hedge)
+            err = jnp.max(binom_est_error(p, n, self.adapt_hedge))
+            return jnp.logical_and(i < max_iters,
+                                   jnp.logical_or(i < 1,
+                                                  err > self.error_tol))
+
+        def body(carry):
+            i, counts, k = carry
+            k, sk = jax.random.split(k)
+            return i + 1, counts + chunk_counts(sk, step), k
+
+        n_out = outcomes.shape[0]
+        n_m = modelparams.shape[0]
+        n_e = n_expparams(eps)
+        init = (jnp.asarray(0),
+                jnp.zeros((n_out, n_m, n_e), jnp.float32), key)
+        iters, counts, _ = jax.lax.while_loop(cond, body, init)
+        return binom_est_p(counts, iters * step, self.est_hedge)
 
     def _fresh_seed(self):
         self._bump("_seed_counter")

@@ -17,6 +17,8 @@ is static under jit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -588,73 +590,73 @@ class ParticleDistribution(Distribution):
 # ---------------------------------------------------------------------------
 
 class HaarUniform(SingleSampleMixin, Distribution):
-    """Haar-uniform pure qubit states, returned as Bloch vector (x, y, z).
+    """Haar-uniform pure states of dimension ``dim``, returned as
+    generalized Bloch coordinates ``Tr(rho·lambda_i)`` in the Gell-Mann
+    basis (for qubits: the familiar ``(x, y, z)``).
 
     Reference parity: ``distributions.py::HaarUniform``.
     """
 
     def __init__(self, dim=2):
-        if int(dim) != 2:
-            raise NotImplementedError("HaarUniform currently supports qubits")
         self.dim = int(dim)
 
     @property
     def n_rvs(self):
-        return 3
+        return self.dim ** 2 - 1
 
     def _sample_one(self, key):
-        # Haar on pure qubit states == uniform on the Bloch sphere.
-        k1, k2 = jax.random.split(key)
-        z = jax.random.uniform(k1, (), minval=-1.0, maxval=1.0)
-        phi = jax.random.uniform(k2, (), minval=0.0, maxval=2 * jnp.pi)
-        r = jnp.sqrt(1.0 - z * z)
-        return jnp.array([r * jnp.cos(phi), r * jnp.sin(phi), z])
+        # normalized complex-Gaussian vector == Haar pure state; complex
+        # arithmetic unrolled to real (axon TPU implements no complex ops)
+        ka, kb = jax.random.split(key)
+        a = jax.random.normal(ka, (self.dim,))
+        b = jax.random.normal(kb, (self.dim,))
+        nrm = jnp.sqrt(jnp.sum(a * a + b * b))
+        a, b = a / nrm, b / nrm
+        re = jnp.outer(a, a) + jnp.outer(b, b)
+        im = jnp.outer(b, a) - jnp.outer(a, b)
+        return _bloch_coords(re, im)
 
 
 class GinibreUniform(SingleSampleMixin, Distribution):
-    """Ginibre-ensemble mixed qubit states (rank-``k``), as Bloch vectors.
+    """Ginibre-ensemble rank-``k`` mixed states of dimension ``dim``, as
+    generalized (Gell-Mann) Bloch coordinates.
 
     Reference parity: ``distributions.py::GinibreUniform(dim, k)``.
     """
 
     def __init__(self, dim=2, k=2):
-        if int(dim) != 2:
-            raise NotImplementedError("GinibreUniform currently supports qubits")
         self.dim = int(dim)
         self.k = int(k)
 
     @property
     def n_rvs(self):
-        return 3
+        return self.dim ** 2 - 1
 
     def _sample_one(self, key):
         return _ginibre_bloch(key, self.dim, self.k)
 
 
 class HilbertSchmidtUniform(SingleSampleMixin, Distribution):
-    """Hilbert-Schmidt-uniform mixed qubit states (Ginibre with k = dim),
-    as Bloch vectors.
+    """Hilbert-Schmidt-uniform mixed states (Ginibre with k = dim), as
+    generalized (Gell-Mann) Bloch coordinates.
 
     Reference parity: ``distributions.py::HilbertSchmidtUniform``.
     """
 
     def __init__(self, dim=2):
-        if int(dim) != 2:
-            raise NotImplementedError(
-                "HilbertSchmidtUniform currently supports qubits")
         self.dim = int(dim)
 
     @property
     def n_rvs(self):
-        return 3
+        return self.dim ** 2 - 1
 
     def _sample_one(self, key):
         return _ginibre_bloch(key, self.dim, self.dim)
 
 
 def _ginibre_bloch(key, dim, rank):
-    """Bloch vector of a Ginibre-random qubit state, computed with REAL
-    arithmetic only (G = A + iB drawn as two real normals;
+    """Generalized Bloch vector of a Ginibre-random state, computed with
+    REAL arithmetic only (G = A + iB drawn as two real normals;
     ρ ∝ GG† has Re = AAᵀ + BBᵀ, Im = BAᵀ − ABᵀ — the axon TPU backend
     implements no complex ops)."""
     kr, ki = jax.random.split(key)
@@ -663,10 +665,31 @@ def _ginibre_bloch(key, dim, rank):
     re = A @ A.T + B @ B.T
     im = B @ A.T - A @ B.T
     tr = jnp.trace(re)
-    re = re / tr
-    im = im / tr
-    # (x, y, z) Bloch components of the 2x2 density matrix re + i·im
-    x = 2.0 * re[0, 1]
-    y = 2.0 * im[1, 0]
-    z = re[0, 0] - re[1, 1]
-    return jnp.stack([x, y, z])
+    return _bloch_coords(re / tr, im / tr)
+
+
+def _bloch_coords(re, im):
+    """Coordinates ``Tr(rho·lambda_i)`` of the hermitian matrix
+    ``rho = re + i·im`` in the Gell-Mann basis, ordered to match
+    :func:`qinfer_tpu.tomography.bases.gell_mann_basis` (all symmetric
+    pairs, then all antisymmetric pairs, then the d-1 diagonal
+    generators) — for d=2 this is exactly ``(x, y, z)``, and for any d
+    the result equals ``sqrt(2)`` times the tomography-model coordinates
+    (the generators there are normalized to ``Tr(B_i B_j) = delta_ij``).
+
+    Hermiticity gives the closed forms ``Tr(rho·lambda^s_jk) = 2 re[j,k]``
+    and ``Tr(rho·lambda^a_jk) = 2 im[k,j]``; no complex ops needed.
+    """
+    dim = re.shape[0]
+    out = []
+    for j in range(dim):
+        for k in range(j + 1, dim):
+            out.append(2.0 * re[j, k])
+    for j in range(dim):
+        for k in range(j + 1, dim):
+            out.append(2.0 * im[k, j])
+    diag = jnp.diagonal(re)
+    for l in range(1, dim):
+        scale = math.sqrt(2.0 / (l * (l + 1)))
+        out.append(scale * (jnp.sum(diag[:l]) - l * diag[l]))
+    return jnp.stack(out)

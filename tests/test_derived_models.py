@@ -333,3 +333,26 @@ def test_ale_single_sample_budget():
                      {"t": jnp.array([1.0])}, key=jax.random.key(0))
     assert L.shape == (1, 4, 1)
     assert np.all(np.isfinite(np.asarray(L)))
+
+
+def test_ale_adaptive_chunking_stops_early():
+    """Adaptive ALE (lax.while_loop chunks) must reach error_tol and agree
+    with the exact likelihood; easy cells should not consume the worst-case
+    budget (reference parity: the host adaptive loop)."""
+    sim = q.CoinModel()
+    m = q.ALEApproximateModel(sim, error_tol=0.05, samp_step=50)
+    # worst-case budget is 0.25/0.0025 = 100 -> only 2 chunks needed at most
+    assert m.n_samples >= 100
+    mps = jnp.array([[0.9], [0.5], [0.1]])
+    # CoinModel convention: Pr(outcome=0) = p
+    L = m.likelihood(jnp.array([0]), mps, {"null": jnp.array([0.0])},
+                     key=jax.random.key(0))
+    np.testing.assert_allclose(
+        np.asarray(L)[0, :, 0], [0.9, 0.5, 0.1], atol=0.12)
+    # non-adaptive path still works and agrees
+    m2 = q.ALEApproximateModel(sim, error_tol=0.05, samp_step=50,
+                               adaptive=False)
+    L2 = m2.likelihood(jnp.array([0]), mps, {"null": jnp.array([0.0])},
+                       key=jax.random.key(0))
+    np.testing.assert_allclose(
+        np.asarray(L2)[0, :, 0], [0.9, 0.5, 0.1], atol=0.12)

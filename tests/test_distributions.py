@@ -207,3 +207,32 @@ def test_postselected_raises_on_exhaustion(key):
         q.UniformDistribution([[0.0, 1.0]]), model, maxiters=2)
     with pytest.raises(RuntimeError, match="still"):
         d.sample(key, 2000)
+
+
+def test_haar_uniform_qutrit(key):
+    """Generalized (Gell-Mann) Bloch coordinates for d=3 pure states:
+    Tr(rho^2)=1 gives |n|^2 = 2(1 - 1/d) = 4/3."""
+    d = q.HaarUniform(dim=3)
+    assert d.n_rvs == 8
+    s = draw(d, key, 2000)
+    np.testing.assert_allclose(np.sum(s ** 2, axis=1), 4 / 3, atol=1e-4)
+    np.testing.assert_allclose(s.mean(axis=0), np.zeros(8), atol=0.06)
+
+
+def test_hilbert_schmidt_uniform_qutrit(key):
+    """HS-random qutrits are mixed: Tr(rho^2) = |n|^2/2 + 1/d < 1."""
+    d = q.HilbertSchmidtUniform(dim=3)
+    s = draw(d, key, 2000)
+    purity = np.sum(s ** 2, axis=1) / 2 + 1 / 3
+    assert np.all(purity <= 1.0 + 1e-5)
+    # HS measure on qutrits: E[Tr rho^2] = (2d)/(d^2+1) = 0.6
+    assert np.isclose(purity.mean(), 0.6, atol=0.02)
+
+
+def test_ginibre_rank1_is_pure(key):
+    """Rank-1 Ginibre == Haar pure: purity 1 for any dim."""
+    d = q.GinibreUniform(dim=4, k=1)
+    assert d.n_rvs == 15
+    s = draw(d, key, 500)
+    purity = np.sum(s ** 2, axis=1) / 2 + 1 / 4
+    np.testing.assert_allclose(purity, 1.0, atol=1e-4)

@@ -31,7 +31,7 @@ def main(n_particles=5000, n_experiments=120, seed=0):
 
     # a mildly mixed true state
     true_rho = np.array([[0.85, 0.30], [0.30, 0.15]], dtype=np.complex64)
-    true_mps = model.states_to_modelparams(jnp.asarray(true_rho)[None])
+    true_mps = model.states_to_modelparams(true_rho[None])
 
     updater = q.SMCUpdater(model, n_particles, prior, seed=seed)
     base = tomo.RandomStabilizerStateHeuristic(updater)

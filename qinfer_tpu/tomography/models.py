@@ -15,6 +15,7 @@ no QuTiP objects anywhere.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -131,20 +132,26 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
 
     def fidelity_with(self, modelparams, sigma):
         """Uhlmann fidelity F(ρ, σ) of a particle batch against a fixed
-        state σ (host-convenience; batched eigh)."""
-        m = self._embedded_states(modelparams)
-        # embed sigma HOST-side: complex arrays must never reach the device
-        sig_e = jnp.asarray(embed_hermitian_host(sigma))
+        state σ.
+
+        Host-side by design: fidelity is a diagnostic, not a hot path, and
+        the axon TPU backend raises UNIMPLEMENTED inside the batched
+        ``eigh`` this needs — only the (real) coordinates are pulled off
+        the device.
+        """
+        m = np.asarray(self._embedded_states(modelparams))
+        sig_e = np.asarray(embed_hermitian_host(sigma))
         # F = (Tr sqrt(sqrt(σ) ρ sqrt(σ)))² — everything in the real
         # embedding: E is an algebra homomorphism, and the embedded
         # product's spectrum doubles each complex eigenvalue, so the
         # doubled-spectrum sqrt-sum halves back out via ev[..., ::2].
-        es, vs = jnp.linalg.eigh(sig_e)
-        sqrt_sig = jnp.einsum(
-            "ab,b,cb->ac", vs, jnp.sqrt(jnp.clip(es, 0.0, None)), vs)
-        M = jnp.einsum("ab,nbc,cd->nad", sqrt_sig, m, sqrt_sig)
-        ev = jnp.linalg.eigvalsh(M)[..., ::2]
-        return jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0, None)), axis=-1) ** 2
+        es, vs = np.linalg.eigh(sig_e)
+        sqrt_sig = np.einsum(
+            "ab,b,cb->ac", vs, np.sqrt(np.clip(es, 0.0, None)), vs)
+        M = np.einsum("ab,nbc,cd->nad", sqrt_sig, m, sqrt_sig)
+        ev = np.linalg.eigvalsh(M)[..., ::2]
+        return jnp.asarray(
+            np.sum(np.sqrt(np.clip(ev, 0.0, None)), axis=-1) ** 2)
 
 
 class ProcessTomographyModel(TomographyModel):

@@ -247,3 +247,43 @@ def test_gather_free_no_zero_injection_at_scale():
             assert float(got[-1, 0]) == 7.0, (
                 f"zero injected at seed {s} (u={u:.4f})")
     assert found_dangerous, "no seed hit the dangerous u range; widen scan"
+
+
+def test_counting_matches_merge_rank():
+    """Sort-free counting formulation agrees with the merge-rank inversion
+    up to float32 boundary ties, and the direct-locations variant equals
+    its own ancestors' gather exactly."""
+    from qinfer_tpu import resamplers as R
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = 2000
+        w = rng.gamma(0.3, size=n).astype(np.float32)
+        if trial % 3 == 0:
+            w[rng.choice(n, n // 2, replace=False)] = 0.0
+        w = w / w.sum()
+        k = jax.random.key(trial)
+        a_sort = np.asarray(R.systematic_ancestors(k, jnp.asarray(w)))
+        a_cnt = np.asarray(
+            R.systematic_ancestors_counting(k, jnp.asarray(w)))
+        assert np.mean(a_sort != a_cnt) < 2e-3
+        locs = rng.normal(size=(n, 3)).astype(np.float32)
+        out = np.asarray(R.systematic_resample_locations_counting(
+            k, jnp.asarray(w), jnp.asarray(locs)))
+        np.testing.assert_array_equal(out, locs[a_cnt])
+
+
+def test_counting_point_mass_and_uniform():
+    from qinfer_tpu import resamplers as R
+
+    w = np.zeros(500, np.float32)
+    w[123] = 1.0
+    a = np.asarray(
+        R.systematic_ancestors_counting(jax.random.key(0), jnp.asarray(w)))
+    assert (a == 123).all()
+    # uniform weights: systematic resampling is a no-op permutation-free
+    # identity (each particle gets exactly one copy)
+    wu = jnp.full((512,), 1 / 512, jnp.float32)
+    au = np.asarray(
+        R.systematic_ancestors_counting(jax.random.key(1), wu))
+    np.testing.assert_array_equal(au, np.arange(512))

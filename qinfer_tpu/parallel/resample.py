@@ -45,15 +45,12 @@ __all__ = ["DistributedLiuWestResampler", "shard_systematic_ancestors"]
 
 
 def _local_systematic(u, weights, n_out):
-    """Systematic ancestors within one shard (small n: plain searchsorted
-    is fine here — no cross-shard data)."""
-    cdf = jnp.cumsum(weights)
-    cdf = cdf / jnp.maximum(cdf[-1], EPS)
-    positions = (jnp.arange(n_out, dtype=cdf.dtype) + u) / n_out
-    positions = jnp.minimum(positions,
-                            jnp.asarray(1.0 - 2.0 ** -24, cdf.dtype))
-    return jnp.clip(jnp.searchsorted(cdf, positions), 0,
-                    weights.shape[0] - 1)
+    """Systematic ancestors within one shard — the same sort-free counting
+    formulation as the single-device path (searchsorted lowers to rounds
+    of random HBM gathers on TPU even at shard-local sizes)."""
+    from ..resamplers import counting_ancestors_from_u
+
+    return counting_ancestors_from_u(u, weights, n_out)
 
 
 def shard_systematic_ancestors(u, shard_masses):

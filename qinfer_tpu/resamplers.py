@@ -175,14 +175,31 @@ def _counting_multiplicities(key, weights, n_out):
     resampling law. ``Σ m = n`` holds exactly: ``F`` is normalized so
     ``ceil(n·1 − u) = n`` for ``u ∈ (0, 1)``.
     """
-    u = jax.random.uniform(key, ())
+    return counting_multiplicities_from_u(
+        jax.random.uniform(key, ()), weights, n_out)
+
+
+def counting_multiplicities_from_u(u, weights, n_out):
+    """Explicit-offset core of :func:`_counting_multiplicities` (the
+    distributed resampler supplies its own per-shard uniform)."""
     cdf = jnp.cumsum(weights)
-    cdf = cdf / cdf[-1]
+    cdf = cdf / jnp.maximum(cdf[-1], EPS)
     upper = jnp.ceil(n_out * cdf - u)
     lower = jnp.concatenate([jnp.zeros((1,), upper.dtype), upper[:-1]])
     m = (upper - lower).astype(jnp.int32)
     offsets = jnp.clip(lower, 0.0, None).astype(jnp.int32)
     return m, offsets
+
+
+def counting_ancestors_from_u(u, weights, n_out):
+    """Sort-free systematic ancestors with an explicit uniform offset
+    (see :func:`systematic_ancestors_counting`)."""
+    n = weights.shape[0]
+    m, offsets = counting_multiplicities_from_u(u, weights, n_out)
+    idx = jnp.where(m > 0, offsets, n_out)
+    anc = jnp.zeros((n_out,), jnp.int32).at[idx].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return jax.lax.cummax(anc)
 
 
 def systematic_ancestors_counting(key, weights, n_out=None):
@@ -201,11 +218,8 @@ def systematic_ancestors_counting(key, weights, n_out=None):
     """
     n = weights.shape[0]
     n_out = n if n_out is None else n_out
-    m, offsets = _counting_multiplicities(key, weights, n_out)
-    idx = jnp.where(m > 0, offsets, n_out)  # drop empty particles
-    anc = jnp.zeros((n_out,), jnp.int32).at[idx].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    return jax.lax.cummax(anc)
+    return counting_ancestors_from_u(
+        jax.random.uniform(key, ()), weights, n_out)
 
 
 def systematic_resample_locations_counting(key, weights, locations):

@@ -42,12 +42,27 @@ def _is_child(x):
     return False
 
 
+class _FrozenDict(tuple):
+    """Marker: a dict frozen for hashing; ``_thaw`` restores the dict."""
+
+
+class _FrozenList(tuple):
+    """Marker: a list frozen for hashing; ``_thaw`` restores the list."""
+
+
 def _freeze(x):
-    """Best-effort conversion of a static value to something hashable."""
-    if isinstance(x, (list, tuple)):
+    """Best-effort conversion of a static value to something hashable.
+
+    Container types are tagged with marker tuples so ``_thaw`` can restore
+    the original type on unflatten — a static ``other_fields`` dict must
+    still be a dict on the reconstructed Module, not a tuple of pairs.
+    """
+    if isinstance(x, list):
+        return _FrozenList(_freeze(v) for v in x)
+    if isinstance(x, tuple):
         return tuple(_freeze(v) for v in x)
     if isinstance(x, dict):
-        return tuple(sorted((k, _freeze(v)) for k, v in x.items()))
+        return _FrozenDict(sorted((k, _freeze(v)) for k, v in x.items()))
     if isinstance(x, set):
         return frozenset(_freeze(v) for v in x)
     if isinstance(x, np.dtype):
@@ -140,7 +155,15 @@ class Module:
 
 
 def _thaw(x):
-    # frozen tuples stay tuples; that is fine for static config.
+    """Inverse of ``_freeze`` for the marker-tagged containers (plain
+    tuples stay tuples; dtypes stay strings — every consumer passes them
+    back through ``np.dtype``)."""
+    if isinstance(x, _FrozenDict):
+        return {k: _thaw(v) for k, v in x}
+    if isinstance(x, _FrozenList):
+        return [_thaw(v) for v in x]
+    if isinstance(x, tuple):
+        return tuple(_thaw(v) for v in x)
     return x
 
 

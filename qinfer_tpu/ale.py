@@ -123,6 +123,19 @@ class ALEApproximateModel(FiniteOutcomeModel):
         return self.simulator.simulate_experiment(
             key, modelparams, expparams, repeat=repeat)
 
+    def update_timestep(self, modelparams, expparams):
+        return self.simulator.update_timestep(modelparams, expparams)
+
+    @property
+    def is_time_dependent(self):
+        # defining update_timestep above would otherwise make the base-class
+        # override check report True unconditionally — delegate for real
+        return self.simulator.is_time_dependent
+
+    @property
+    def Q(self):
+        return self.simulator.Q
+
     # -- the approximation -------------------------------------------------
 
     def likelihood(self, outcomes, modelparams, expparams, key=None):
@@ -160,6 +173,7 @@ class ALEApproximateModel(FiniteOutcomeModel):
 
         step = self.samp_step
         max_iters = -(-self.n_samples // step)  # ceil
+        min_iters = max(1, -(-self.min_samp // step))  # min_samp floor
 
         def cond(carry):
             i, counts, _ = carry
@@ -167,7 +181,7 @@ class ALEApproximateModel(FiniteOutcomeModel):
             p = binom_est_p(counts, n, self.adapt_hedge)
             err = jnp.max(binom_est_error(p, n, self.adapt_hedge))
             return jnp.logical_and(i < max_iters,
-                                   jnp.logical_or(i < 1,
+                                   jnp.logical_or(i < min_iters,
                                                   err > self.error_tol))
 
         def body(carry):

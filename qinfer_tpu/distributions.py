@@ -494,8 +494,21 @@ class PostselectedDistribution(Distribution):
         k0, krest = jax.random.split(key)
         init = self.distribution.sample(k0, n)
         valid = self.model.are_models_valid(init)
-        keys = jax.random.split(krest, self.maxiters)
-        (samples, valid), _ = jax.lax.scan(body, (init, valid), keys)
+
+        def cond(carry):
+            _, cur_valid, _, it = carry
+            return (~jnp.all(cur_valid)) & (it < self.maxiters)
+
+        def loop_body(carry):
+            samples, cur_valid, k, it = carry
+            k, sub = jax.random.split(k)
+            (samples, cur_valid), _ = body((samples, cur_valid), sub)
+            return samples, cur_valid, k, it + 1
+
+        # early-exit: the common case (high-acceptance prior) pays ONE
+        # round, not all maxiters
+        samples, valid, _, _ = jax.lax.while_loop(
+            cond, loop_body, (init, valid, krest, jnp.asarray(0)))
         if not isinstance(valid, jax.core.Tracer):
             # host-level call (the usual case: updater.reset): match the
             # reference, which RAISES when maxiters is exhausted, instead

@@ -31,6 +31,10 @@ class Heuristic(Module):
 
     def __init__(self, updater):
         self._updater = updater
+        # the model is itself a pytree Module, so storing it as a regular
+        # attribute lets `propose` survive flatten/unflatten (underscore
+        # attrs like _updater are host bookkeeping and are dropped)
+        self.model = getattr(updater, "model", None)
 
     @property
     def updater(self):
@@ -85,7 +89,7 @@ class PGH(Heuristic):
         j = jax.random.categorical(k2, logits.at[i].set(-jnp.inf), shape=())
         x1 = locations[i]
         x2 = locations[j]
-        model = getattr(self._updater, "model", None)
+        model = self.model
         if model is not None:
             # Q-weighted distance (reference parity: PGH uses
             # model.distance, not the raw euclidean norm — parameters on

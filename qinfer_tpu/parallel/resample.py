@@ -53,6 +53,16 @@ def _local_systematic(u, weights, n_out):
     return counting_ancestors_from_u(u, weights, n_out)
 
 
+def _local_systematic_locations(u, weights, locations):
+    """Shard-local systematic resample producing locations directly
+    (gather-free; see
+    :func:`qinfer_tpu.resamplers.systematic_resample_locations_counting`).
+    """
+    from ..resamplers import counting_locations_from_u
+
+    return counting_locations_from_u(u, weights, locations)
+
+
 def shard_systematic_ancestors(u, shard_masses):
     """Level-1: ancestor shard index for every output shard (systematic
     over the D shard masses; D is tiny so this is replicated scalar work).
@@ -138,8 +148,12 @@ class DistributedLiuWestResampler(Module):
 
             # --- level 2: local systematic over the received block ---------
             u2 = jax.random.uniform(jax.random.fold_in(k_local, idx), ())
-            anc = _local_systematic(u2, recv_w, n_loc)
-            x_anc = recv_x[anc]
+            if dim <= 4:
+                # gather-free: scatter + log-depth fill instead of a
+                # shard-local random gather of n_loc rows
+                x_anc = _local_systematic_locations(u2, recv_w, recv_x)
+            else:
+                x_anc = recv_x[_local_systematic(u2, recv_w, n_loc)]
             centers = a * x_anc + (1.0 - a) * mu[None, :]
 
             def propose(k):
@@ -147,7 +161,8 @@ class DistributedLiuWestResampler(Module):
                 return centers + z @ S.T
 
             k_draw = jax.random.fold_in(k_draw, idx)
-            new_x = propose(k_draw)
+            k_first, k_loop = jax.random.split(k_draw)
+            new_x = propose(k_first)
             valid = model.are_models_valid(new_x)
 
             def cond(carry):
@@ -164,7 +179,7 @@ class DistributedLiuWestResampler(Module):
                 return (cur_x, cur_valid | fresh_valid, k, it + 1)
 
             new_x, valid, _, _ = jax.lax.while_loop(
-                cond, body, (new_x, valid, k_draw, jnp.asarray(0)))
+                cond, body, (new_x, valid, k_loop, jnp.asarray(0)))
             new_x = jnp.where(valid[:, None], new_x, x_anc)
             new_x = model.canonicalize(new_x)
             new_w = jnp.full((n_loc,), 1.0 / n, dtype=w_loc.dtype)

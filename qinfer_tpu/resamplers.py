@@ -71,6 +71,8 @@ def systematic_ancestors(key, weights, n_out=None):
     random HBM gathers (measured 334 ms at 2²¹ particles) while the bitonic
     sort is regular-access (measured 30 ms): an 11× win on the resampling
     hot path. Exact same output as ``searchsorted(cdf, positions)``.
+    Kept for comparison; the production engine now uses the sort-free
+    :func:`systematic_ancestors_counting`.
     """
     n = weights.shape[0]
     n_out = n if n_out is None else n_out
@@ -102,9 +104,9 @@ def systematic_resample_locations(key, weights, locations):
 
     All passes (sort, scan, scatter) are regular-access, so this avoids the
     ``x[ancestors]`` random HBM gather (~20 ms at 2²¹ particles on TPU
-    v5e) that dominates the classic formulation after the sort. Best for
-    small ``d`` (the payload rides through the sort); the engine uses it
-    for ``d <= 4`` and falls back to gather above.
+    v5e) that dominates the classic formulation after the sort. Kept for
+    comparison and diagnostics; the production engine now uses the even
+    cheaper sort-free :func:`systematic_resample_locations_counting`.
 
     :return: ``(n, d)`` resampled locations (same law as
         ``locations[systematic_ancestors(key, weights)]``).
@@ -202,6 +204,26 @@ def counting_ancestors_from_u(u, weights, n_out):
     return jax.lax.cummax(anc)
 
 
+def counting_locations_from_u(u, weights, locations):
+    """Sort-free systematic resample-to-locations with an explicit uniform
+    offset (see :func:`systematic_resample_locations_counting`)."""
+    n, d = locations.shape
+    m, offsets = counting_multiplicities_from_u(u, weights, n)
+    idx = jnp.where(m > 0, offsets, n)
+    flag = jnp.zeros((n,), jnp.int32).at[idx].set(1, mode="drop")
+    out = jnp.zeros((n, d), locations.dtype).at[idx].set(
+        locations, mode="drop")
+
+    def combine(a, b):
+        a_x, a_f = a
+        b_x, b_f = b
+        take_b = b_f[..., None] > 0
+        return jnp.where(take_b, b_x, a_x), jnp.maximum(a_f, b_f)
+
+    filled, _ = jax.lax.associative_scan(combine, (out, flag))
+    return filled
+
+
 def systematic_ancestors_counting(key, weights, n_out=None):
     """Sort-free systematic ancestor indices.
 
@@ -236,21 +258,8 @@ def systematic_resample_locations_counting(key, weights, locations):
     :return: ``(n, d)`` resampled locations (same law as
         ``locations[systematic_ancestors(key, weights)]``).
     """
-    n, d = locations.shape
-    m, offsets = _counting_multiplicities(key, weights, n)
-    idx = jnp.where(m > 0, offsets, n)  # drop empty particles
-    flag = jnp.zeros((n,), jnp.int32).at[idx].set(1, mode="drop")
-    out = jnp.zeros((n, d), locations.dtype).at[idx].set(
-        locations, mode="drop")
-
-    def combine(a, b):
-        a_x, a_f = a
-        b_x, b_f = b
-        take_b = b_f[..., None] > 0
-        return jnp.where(take_b, b_x, a_x), jnp.maximum(a_f, b_f)
-
-    filled, _ = jax.lax.associative_scan(combine, (out, flag))
-    return filled
+    return counting_locations_from_u(
+        jax.random.uniform(key, ()), weights, locations)
 
 
 def multinomial_ancestors(key, weights, n_out=None):
@@ -343,7 +352,8 @@ class LiuWestResampler(Resampler):
                  else self.kernel(k, (n, d)))
             return centers + z @ S.T
 
-        new_x = propose(k_draw)
+        k_first, k_loop = jax.random.split(k_draw)
+        new_x = propose(k_first)
         if self.postselect and self.maxiter > 0:
             valid = model.are_models_valid(new_x)
 
@@ -363,8 +373,10 @@ class LiuWestResampler(Resampler):
                 cur_x = jnp.where(take[:, None], fresh, cur_x)
                 return (cur_x, cur_valid | fresh_valid, k, it + 1)
 
+            # k_loop is a FRESH split — re-splitting the consumed k_first
+            # would correlate redraw streams with the rejected proposal
             new_x, valid, _, _ = jax.lax.while_loop(
-                cond, body, (new_x, valid, k_draw, jnp.asarray(0)))
+                cond, body, (new_x, valid, k_loop, jnp.asarray(0)))
             # Fallback: still-invalid slots inherit their ancestor directly
             # (ancestors are valid by induction) — the bounded-shape analogue
             # of the reference's ResamplerWarning path.

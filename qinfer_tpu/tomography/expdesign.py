@@ -186,19 +186,22 @@ class BestOfKMetaheuristic(Heuristic):
     def __call__(self, idx_exp=0):
         # batched host-level scoring (the engine call is one fused XLA
         # reduction over particles × outcomes × k candidates)
-        import jax as _jax
-
         st = self._updater.state
-        key, *keys = _jax.random.split(st.key, self.k + 1)
+        key, *keys = jax.random.split(st.key, self.k + 1)
         self._updater.state = st._replace(key=key)
         cands = [self.base_heuristic.propose(
             kk, st.weights, st.locations, jnp.asarray(idx_exp))
             for kk in keys]
-        meas = jnp.concatenate([c["meas"] for c in cands], axis=0)
-        eps = {"meas": meas}
+        # concatenate EVERY field the base heuristic proposes (a base bound
+        # to a time-dependent model emits more than just 'meas')
+        eps = {f: jnp.concatenate([jnp.atleast_1d(c[f]) for c in cands],
+                                  axis=0)
+               for f in cands[0]}
         for fname, val in self.other_fields.items():
-            eps[fname] = jnp.broadcast_to(
-                jnp.atleast_1d(jnp.asarray(val)), (self.k,))
+            val = jnp.atleast_1d(jnp.asarray(val))
+            eps[fname] = (jnp.repeat(val, self.k, axis=0)
+                          if val.shape[0] == 1
+                          else jnp.tile(val, (self.k,) + (1,) * (val.ndim - 1))[:self.k])
         if self.score == "information_gain":
             scores = self._updater.expected_information_gain(eps)
             best = int(jnp.argmax(scores))

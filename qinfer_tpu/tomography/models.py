@@ -34,7 +34,11 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
     Reference parity: ``tomography/models.py::TomographyModel``.
 
     :param basis: a :class:`~qinfer_tpu.tomography.bases.TomographyBasis`.
-    :param bool allow_subnormalized: accept Tr ρ < 1 states as valid.
+    :param bool allow_subnormalized: must be False — this rebuild fixes
+        the trace coordinate structurally (modelparams are only the
+        traceless coordinates), so subnormalized states are not
+        representable; passing True raises NotImplementedError rather
+        than silently ignoring the request.
     :param float psd_tol: eigenvalue tolerance for the positivity check.
         The default covers TPU float32 eigh residuals (measured min
         eigenvalue −7.6e-4 on genuinely-PSD Ginibre states via QDWH on the
@@ -46,7 +50,13 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
     def __init__(self, basis, allow_subnormalized=False, psd_tol=2e-3):
         super().__init__()
         self.basis = basis
-        self.allow_subnormalized = bool(allow_subnormalized)
+        if allow_subnormalized:
+            raise NotImplementedError(
+                "allow_subnormalized: the trace coordinate is fixed by "
+                "this parameterization (only traceless coordinates are "
+                "model parameters), so Tr rho < 1 states cannot be "
+                "represented")
+        self.allow_subnormalized = False
         self.psd_tol = float(psd_tol)
 
     @property
@@ -98,10 +108,7 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
     def are_models_valid(self, modelparams):
         m = self._embedded_states(modelparams)
         evals = jnp.linalg.eigvalsh(m)  # real symmetric; spectrum doubled
-        psd = jnp.all(evals >= -self.psd_tol, axis=-1)
-        if self.allow_subnormalized:
-            return psd
-        return psd  # trace is fixed by construction
+        return jnp.all(evals >= -self.psd_tol, axis=-1)
 
     def canonicalize(self, modelparams):
         """Project onto the PSD cone: clip negative eigenvalues and
@@ -177,7 +184,6 @@ class ProcessTomographyModel(TomographyModel):
     """
 
     def __init__(self, doubled_basis, system_basis, **kwargs):
-        import numpy as _np
 
         super().__init__(doubled_basis, **kwargs)
         self.system_basis = system_basis
@@ -193,13 +199,13 @@ class ProcessTomographyModel(TomographyModel):
         #   T[k, i, j] = d · Re Tr(C_k (B_iᵀ ⊗ B_j)).
         # The on-device effect assembly is then ONE real einsum (the axon
         # TPU backend has no complex arithmetic).
-        C = _np.asarray(doubled_basis.data)          # (d⁴, d², d²)
-        Bsys = _np.asarray(system_basis.data)        # (d², d, d)
+        C = np.asarray(doubled_basis.data)          # (d⁴, d², d²)
+        Bsys = np.asarray(system_basis.data)        # (d², d, d)
         BT = Bsys.transpose(0, 2, 1)                 # B_iᵀ
         # kron over the batch pair (i, j): (d², d², d², d²) too big? d=2: 4·4
-        kron = _np.einsum("iab,jcd->ijacbd", BT, Bsys).reshape(
+        kron = np.einsum("iab,jcd->ijacbd", BT, Bsys).reshape(
             Bsys.shape[0], Bsys.shape[0], d * d, d * d)
-        T = d * _np.real(_np.einsum("kab,ijba->kij", C, kron))
+        T = d * np.real(np.einsum("kab,ijba->kij", C, kron))
         self.effect_tensor = jnp.asarray(T, dtype=jnp.float32)
 
     @property

@@ -356,3 +356,31 @@ def test_ale_adaptive_chunking_stops_early():
                        key=jax.random.key(0))
     np.testing.assert_allclose(
         np.asarray(L2)[0, :, 0], [0.9, 0.5, 0.1], atol=0.12)
+
+
+def test_ale_respects_min_samp_floor():
+    """Review regression: the adaptive loop must not stop below min_samp
+    even when the first chunk's std-err looks small."""
+    sim = q.CoinModel()
+    m = q.ALEApproximateModel(sim, error_tol=0.2, min_samp=200,
+                              samp_step=10)
+    # p=0 coin: every chunk counts zero successes, so the hedged estimate
+    # h/(N+2h) directly encodes how many samples the loop actually drew
+    # (N=10 would give 0.046; N=200 gives 0.0025)
+    # CoinModel: Pr(outcome=0) = p, so outcome 0 is never simulated at p=0
+    L = float(np.asarray(m.likelihood(
+        jnp.array([0]), jnp.array([[0.0]]),
+        {"null": jnp.array([0.0])}, key=jax.random.key(0)))[0, 0, 0])
+    n_eff = 0.509 / L - 2 * 0.509
+    assert n_eff >= 190, f"loop stopped at ~{n_eff:.0f} samples"
+
+
+def test_ale_delegates_time_dependence():
+    """Review regression: wrapping a time-dependent simulator must keep
+    is_time_dependent True (the engine skips update_timestep otherwise)."""
+    walk = q.RandomWalkModel(q.SimplePrecessionModel(),
+                             q.NormalDistribution(0.0, 1e-4))
+    m = q.ALEApproximateModel(walk, error_tol=0.2)
+    assert m.is_time_dependent is True
+    assert q.ALEApproximateModel(q.SimplePrecessionModel(),
+                                 error_tol=0.2).is_time_dependent is False

@@ -32,5 +32,5 @@ def test_randomized_benchmarking_example():
 
 def test_state_tomography_example():
     mod = load_example("state_tomography.py")
-    u = mod.main(n_particles=1500, n_experiments=60)
+    u = mod.main(n_particles=1500, n_experiments=100)
     assert u.n_ess > 0

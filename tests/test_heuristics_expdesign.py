@@ -223,3 +223,17 @@ def test_pgh_uses_q_weighted_distance(key):
     t_scaled = float(np.asarray(q.PGH(u_scaled)(k)["t"])[0])
     # distance scales by sqrt(Q)=2 -> proposed time halves
     assert np.isclose(t_scaled, t_plain / 2.0, rtol=1e-5)
+
+
+def test_pgh_survives_pytree_roundtrip(key):
+    """Review regression: heuristics carry the model as a pytree child, so
+    propose still works after flatten/unflatten (underscore _updater is
+    host bookkeeping and is dropped)."""
+    u = q.SMCUpdater(q.SimplePrecessionModel(), 100,
+                     q.UniformDistribution([[0, 1]]), seed=0)
+    h = q.PGH(u)
+    leaves, treedef = jax.tree_util.tree_flatten(h)
+    h2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    eps = h2.propose(key, u.particle_weights, u.particle_locations,
+                     jnp.asarray(0))
+    assert np.isfinite(float(np.asarray(eps["t"])[0]))

@@ -348,3 +348,25 @@ def test_product_heuristic_rejects_dimension_mismatch():
     with pytest.raises(ValueError, match="sub_updaters"):
         q.tomography.ProductHeuristic(
             u, basis2, [q.tomography.RandomPauliHeuristic] * 2)
+
+
+def test_allow_subnormalized_raises():
+    """Review regression: the trace coordinate is structurally fixed, so
+    allow_subnormalized=True must raise instead of silently no-op."""
+    with pytest.raises(NotImplementedError, match="subnormalized"):
+        q.tomography.TomographyModel(q.tomography.pauli_basis(1),
+                                     allow_subnormalized=True)
+
+
+def test_best_of_k_preserves_all_fields():
+    """Review regression: BestOfK must concatenate every proposed field,
+    not just 'meas' (time-dependent tomography models add more)."""
+    basis = q.tomography.pauli_basis(1)
+    model = q.tomography.DiffusiveTomographyModel(basis)
+    prior = q.tomography.GinibreDistribution(basis)
+    u = q.SMCUpdater(model, 100, prior, seed=0)
+    base = q.tomography.RandomPauliHeuristic(u, other_fields={"t": 0.1})
+    meta = q.tomography.BestOfKMetaheuristic(u, base, k=3)
+    eps = meta(0)
+    assert set(eps) >= {"meas", "t"}, set(eps)
+    assert np.asarray(eps["meas"]).shape[0] == 1

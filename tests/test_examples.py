@@ -34,3 +34,9 @@ def test_state_tomography_example():
     mod = load_example("state_tomography.py")
     u = mod.main(n_particles=1500, n_experiments=100)
     assert u.n_ess > 0
+
+
+def test_process_tomography_example():
+    mod = load_example("process_tomography.py")
+    u = mod.main(n_particles=3000, n_experiments=150)
+    assert u.n_particles == 3000

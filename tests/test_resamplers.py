@@ -270,7 +270,9 @@ def test_counting_matches_merge_rank():
         locs = rng.normal(size=(n, 3)).astype(np.float32)
         out = np.asarray(R.systematic_resample_locations_counting(
             k, jnp.asarray(w), jnp.asarray(locs)))
-        np.testing.assert_array_equal(out, locs[a_cnt])
+        # telescoping-fill reconstruction is exact up to f32 cancellation
+        # (ulp-level)
+        np.testing.assert_allclose(out, locs[a_cnt], atol=1e-5)
 
 
 def test_counting_point_mass_and_uniform():
@@ -287,3 +289,41 @@ def test_counting_point_mass_and_uniform():
     au = np.asarray(
         R.systematic_ancestors_counting(jax.random.key(1), wu))
     np.testing.assert_array_equal(au, np.arange(512))
+
+
+def test_counting_fill_strategies_agree():
+    """Both forward-fill strategies (associative_scan on TPU, telescoping
+    scatter-add + cumsum on CPU) must reconstruct the same resample."""
+    from qinfer_tpu import resamplers as R
+
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        n = 5000
+        w = rng.gamma(0.3, size=n).astype(np.float32)
+        if trial % 2 == 0:
+            w[rng.choice(n, n // 2, replace=False)] = 0.0
+        w = w / w.sum()
+        locs = (rng.normal(size=(n, 3)) * 0.01 + 7.0).astype(np.float32)
+        u = jnp.asarray(float(rng.uniform()))
+        a = np.asarray(R.counting_locations_from_u(
+            u, jnp.asarray(w), jnp.asarray(locs), strategy="scan"))
+        b = np.asarray(R.counting_locations_from_u(
+            u, jnp.asarray(w), jnp.asarray(locs), strategy="telescope"))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_counting_multiplicities_monotone_under_parallel_cumsum():
+    """Review/debug regression: XLA's parallel cumsum can make prefix sums
+    dip by an ulp; the cummax guard must keep every multiplicity >= 0."""
+    from qinfer_tpu import resamplers as R
+
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        n = 1 << 17
+        w = rng.gamma(0.3, size=n).astype(np.float32)
+        w = w / w.sum()
+        m, offs = (np.asarray(v) for v in R.counting_multiplicities_from_u(
+            jnp.asarray(float(rng.uniform())), jnp.asarray(w), n))
+        assert m.min() >= 0
+        assert m.sum() == n
+        assert (np.diff(offs) >= 0).all()

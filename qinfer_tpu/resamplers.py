@@ -161,9 +161,11 @@ def systematic_resample_locations(key, weights, locations):
     return out
 
 
-def _counting_multiplicities(key, weights, n_out):
+def counting_multiplicities_from_u(u, weights, n_out):
     """Shared prelude of the sort-free systematic variants: per-particle
     copy counts and output offsets, from ONE cumsum and elementwise math.
+    Takes the uniform offset explicitly (the distributed resampler
+    supplies its own per-shard uniform).
 
     ``m_i = ceil(n·F_i − u) − ceil(n·F_{i−1} − u)`` counts the stratified
     positions ``(j + u)/n`` that land in ``(F_{i−1}, F_i]`` — no sort, no
@@ -177,13 +179,6 @@ def _counting_multiplicities(key, weights, n_out):
     resampling law. ``Σ m = n`` holds exactly: ``F`` is normalized so
     ``ceil(n·1 − u) = n`` for ``u ∈ (0, 1)``.
     """
-    return counting_multiplicities_from_u(
-        jax.random.uniform(key, ()), weights, n_out)
-
-
-def counting_multiplicities_from_u(u, weights, n_out):
-    """Explicit-offset core of :func:`_counting_multiplicities` (the
-    distributed resampler supplies its own per-shard uniform)."""
     cdf = jnp.cumsum(weights)
     cdf = cdf / jnp.maximum(cdf[-1], EPS)
     upper = jnp.ceil(n_out * cdf - u)
@@ -245,15 +240,14 @@ def counting_locations_from_u(u, weights, locations, strategy=None):
     n, d = locations.shape
     m, offsets = counting_multiplicities_from_u(u, weights, n)
     alive = m > 0
-    oob = n + jnp.arange(n, dtype=jnp.int32)
-    start = jnp.where(alive, offsets, oob)
+    start = _scatter_indices(m, offsets, n)
     if strategy is None:
         strategy = ("telescope" if jax.default_backend() == "cpu"
                     else "scan")
     if strategy == "telescope":
         mu = jnp.mean(locations, axis=0)
         xc = jnp.where(alive[:, None], locations - mu[None, :], 0.0)
-        stop = jnp.where(alive, offsets + m, oob)
+        stop = _scatter_indices(m, offsets + m, n)
         contrib = jnp.zeros((n, d), locations.dtype).at[start].add(
             xc, mode="drop", unique_indices=True)
         contrib = contrib.at[stop].add(
@@ -286,7 +280,7 @@ def systematic_ancestors_counting(key, weights, n_out=None):
     the merge-rank formulation (sort is O(n log²n) network passes).
 
     Same resampling law as :func:`systematic_ancestors`; boundary slots
-    can differ by one particle (see :func:`_counting_multiplicities`).
+    can differ by one particle (see :func:`counting_multiplicities_from_u`).
     """
     n = weights.shape[0]
     n_out = n if n_out is None else n_out
@@ -296,14 +290,9 @@ def systematic_ancestors_counting(key, weights, n_out=None):
 
 def systematic_resample_locations_counting(key, weights, locations):
     """Sort-free systematic resampling producing the resampled particle
-    **locations directly** — no sort AND no random gather.
-
-    Each surviving particle's coordinate row is scattered at its first
-    output slot; a forward ``associative_scan`` with a "last written wins"
-    combinator fills the remaining slots (every later slot belongs to the
-    most recent written particle by construction of the offsets). The
-    whole resample is cumsum + elementwise + scatter + log-depth fill —
-    every pass regular-access.
+    **locations directly** — no sort AND no random gather (scatter the
+    survivors, forward-fill; strategies and precision notes in
+    :func:`counting_locations_from_u`).
 
     :return: ``(n, d)`` resampled locations (same law as
         ``locations[systematic_ancestors(key, weights)]``).

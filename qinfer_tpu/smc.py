@@ -400,6 +400,11 @@ def _expected_information_gain(model, weights, locations, outcomes, mask, eps):
     return h_marg - h_cond
 
 
+@jax.jit
+def _weighted_mean(weights, locations):
+    return weights @ locations
+
+
 # ---------------------------------------------------------------------------
 # SMCUpdater
 # ---------------------------------------------------------------------------
@@ -680,8 +685,12 @@ class SMCUpdater:
     # -- estimators --------------------------------------------------------
 
     def est_mean(self):
-        """Posterior mean. Reference parity: ``SMCUpdater.est_mean``."""
-        return self._state.weights @ self._state.locations
+        """Posterior mean. Reference parity: ``SMCUpdater.est_mean``.
+
+        Jitted: the axon TPU backend lacks the EAGER (un-jitted) lowering
+        of the 1D x 2D dot_general, so the eager form poisons downstream
+        host transfers with a deferred UNIMPLEMENTED."""
+        return _weighted_mean(self._state.weights, self._state.locations)
 
     def est_meanfn(self, fn):
         """Posterior mean of an arbitrary function of the parameters.

@@ -146,7 +146,15 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
         ``eigh`` this needs — only the (real) coordinates are pulled off
         the device.
         """
-        m = np.asarray(self._embedded_states(modelparams))
+        # assemble E(rho) entirely in numpy: the axon backend lacks the
+        # EAGER (un-jitted) paths for einsum/concatenate, so only the raw
+        # modelparams array is read off the device
+        mp = np.atleast_2d(np.asarray(modelparams))
+        tr = np.full((mp.shape[0], 1), 1.0 / np.sqrt(float(self.dim)),
+                     dtype=mp.dtype)
+        coords = np.concatenate([tr, mp], axis=1)
+        m = np.einsum("ni,iab->nab", coords,
+                      np.asarray(self.basis.data_embedded))
         sig_e = np.asarray(embed_hermitian_host(sigma))
         # F = (Tr sqrt(sqrt(σ) ρ sqrt(σ)))² — everything in the real
         # embedding: E is an algebra homomorphism, and the embedded

@@ -83,6 +83,8 @@ def main():
                 base.log_total_likelihood, repl),
             min_n_ess=jax.device_put(base.min_n_ess, repl),
             zero_weight_count=jax.device_put(base.zero_weight_count, repl),
+            resampler_fallback_count=jax.device_put(
+                base.resampler_fallback_count, repl),
         )
         true = jax.device_put(jnp.array([[0.7]], dtype=jnp.float32), repl)
 

@@ -174,12 +174,11 @@ class Simulatable(Module):
         raise NotImplementedError
 
     def experiment_cost(self, expparams):
-        """Cost of running each experiment (default: the ``'t'`` field if
-        present, else 1). Reference parity:
-        ``abstract_model.py::Simulatable.experiment_cost``."""
+        """Cost of running each experiment. Reference parity:
+        ``abstract_model.py::Simulatable.experiment_cost`` — unit cost for
+        every experiment by default; override for time-weighted designs
+        (e.g. ``lambda eps: eps['t']``)."""
         eps = expparams_to_dict(expparams, self.expparams_dtype)
-        if "t" in eps:
-            return eps["t"]
         return jnp.ones((n_expparams(eps),))
 
     @property

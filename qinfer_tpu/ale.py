@@ -123,8 +123,11 @@ class ALEApproximateModel(FiniteOutcomeModel):
         return self.simulator.simulate_experiment(
             key, modelparams, expparams, repeat=repeat)
 
-    def update_timestep(self, modelparams, expparams):
-        return self.simulator.update_timestep(modelparams, expparams)
+    def update_timestep(self, key, modelparams, expparams):
+        # keyed engine contract (abstract_model.py::Simulatable.
+        # update_timestep): the key MUST be forwarded or wrapping any
+        # time-dependent simulator crashes at the first update
+        return self.simulator.update_timestep(key, modelparams, expparams)
 
     @property
     def is_time_dependent(self):

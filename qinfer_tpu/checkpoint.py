@@ -64,6 +64,9 @@ def arrays_to_state(arrays, sharding=None):
         log_total_likelihood=put(arrays["log_total_likelihood"]),
         min_n_ess=put(arrays["min_n_ess"]),
         zero_weight_count=put(arrays["zero_weight_count"]),
+        resampler_fallback_count=put(
+            arrays.get("resampler_fallback_count",
+                       np.asarray(0, np.int32))),
     )
 
 

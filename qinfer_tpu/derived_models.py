@@ -318,10 +318,43 @@ class MultinomialModel(DerivedModel):
         return False
 
     def n_outcomes(self, expparams=None):
-        eps = self.canonicalize_expparams(expparams) if expparams is not None \
-            else None
-        n = int(eps["n_meas"][0]) if eps is not None else self.n_meas_max
-        return MultinomialDomain(n, self.n_elements).n_members
+        """Size of the STATIC padded outcome grid (all count vectors with
+        sum ≤ ``n_meas_max``): C(n_meas_max + k, k). Trace-safe — never
+        inspects expparams values (the per-experiment outcome count is
+        conveyed by :meth:`outcome_mask`, as for BinomialModel)."""
+        from math import comb
+
+        return comb(self.n_meas_max + self.n_elements, self.n_elements)
+
+    def outcomes(self, expparams=None):
+        """Padded static design grid: every count vector of ``n_elements``
+        non-negative integers with total ≤ ``n_meas_max``, shape
+        ``(C(n_meas_max + k, k), k)``. For each experiment, exactly the
+        rows summing to its ``n_meas`` are real (see :meth:`outcome_mask`)
+        — the C(n+k−1, k−1) vectors of ``MultinomialDomain(n, k).values``
+        (reference anchor: ``src/qinfer/domains.py::MultinomialDomain``).
+        """
+        grid = getattr(self, "_outcome_grid_cache", None)
+        if grid is None:
+            from .domains import _compositions
+
+            # compositions of n_meas_max into k+1 parts, dropping the slack
+            # column, enumerate every sum-≤-n_meas_max vector exactly once
+            grid = jnp.asarray(np.array(
+                [c[:-1] for c in _compositions(
+                    self.n_meas_max, self.n_elements + 1)],
+                dtype=np.int32))
+            object.__setattr__(self, "_outcome_grid_cache", grid)
+        return grid
+
+    def outcome_mask(self, expparams):
+        """(n_outcomes, n_expparams) validity of each padded grid row:
+        a count vector is a real outcome of experiment ``e`` iff its total
+        equals that experiment's ``n_meas``."""
+        eps = self.canonicalize_expparams(expparams)
+        n_meas = jnp.asarray(eps["n_meas"])
+        totals = jnp.sum(self.outcomes(), axis=-1)
+        return totals[:, None] == n_meas[None, :]
 
     def domain(self, expparams=None):
         if expparams is None:
@@ -429,9 +462,13 @@ class GaussianRandomWalkModel(RandomWalkModel):
 
     Reference parity: ``derived_models.py::GaussianRandomWalkModel`` — with
     ``model_mu_sigma=True`` the walk scales become extra model parameters
-    (appended after the underlying ones, parameterized as log-σ for
-    positivity-free sampling), so the SMC *learns the diffusion rate* along
-    with the state; with the default they are fixed constants.
+    (appended after the underlying ones), so the SMC *learns the diffusion
+    rate* along with the state; with the default they are fixed constants.
+    ``diagonal=False`` uses a full covariance walk: in fixed mode ``scale``
+    may be a ``(d, d)`` covariance matrix; in learned mode the extra
+    parameters are the ``d(d+1)/2`` entries of the Cholesky factor of the
+    step covariance (diagonal entries as log-σ for positivity, off-diagonal
+    entries unconstrained).
     """
 
     def __init__(self, underlying_model, scale=0.01, diagonal=True,
@@ -439,8 +476,18 @@ class GaussianRandomWalkModel(RandomWalkModel):
         from .distributions import MultivariateNormalDistribution
 
         d = underlying_model.n_modelparams
-        scale_arr = np.broadcast_to(np.asarray(scale, dtype=np.float64), (d,))
-        cov = np.diag(scale_arr ** 2)
+        scale_np = np.asarray(scale, dtype=np.float64)
+        if not diagonal and scale_np.ndim == 2:
+            if scale_np.shape != (d, d):
+                raise ValueError(
+                    f"full-covariance scale must be ({d}, {d})")
+            cov = scale_np
+        else:
+            if scale_np.ndim == 2:
+                raise ValueError(
+                    "matrix scale requires diagonal=False")
+            scale_arr = np.broadcast_to(scale_np, (d,))
+            cov = np.diag(scale_arr ** 2)
         step = MultivariateNormalDistribution(np.zeros(d), cov)
         super().__init__(underlying_model, step)
         self.diagonal = bool(diagonal)
@@ -454,16 +501,31 @@ class GaussianRandomWalkModel(RandomWalkModel):
         return self.underlying_model.n_modelparams
 
     @property
+    def _n_extra(self):
+        """Number of learned walk parameters appended after the underlying
+        ones: d log-σ (diagonal) or d(d+1)/2 Cholesky entries (full)."""
+        if not self.model_mu_sigma:
+            return 0
+        d = self._n_underlying
+        return d if self.diagonal else d * (d + 1) // 2
+
+    @property
     def n_modelparams(self):
-        base = self.underlying_model.n_modelparams
-        return base * 2 if self.model_mu_sigma else base
+        return self.underlying_model.n_modelparams + self._n_extra
 
     @property
     def modelparam_names(self):
         names = list(self.underlying_model.modelparam_names)
         if self.model_mu_sigma:
-            names += [f"log_sigma_{n}" for n in
-                      self.underlying_model.modelparam_names]
+            under = self.underlying_model.modelparam_names
+            if self.diagonal:
+                names += [f"log_sigma_{n}" for n in under]
+            else:
+                d = self._n_underlying
+                for i, j in zip(*np.tril_indices(d)):
+                    names.append(
+                        f"log_sigma_{under[i]}" if i == j
+                        else f"chol_{under[i]}_{under[j]}")
         return names
 
     @property
@@ -472,7 +534,7 @@ class GaussianRandomWalkModel(RandomWalkModel):
             return self.underlying_model.Q
         return jnp.concatenate([
             self.underlying_model.Q,
-            jnp.zeros((self._n_underlying,))])
+            jnp.zeros((self._n_extra,))])
 
     def are_models_valid(self, modelparams):
         modelparams = jnp.atleast_2d(modelparams)
@@ -508,10 +570,24 @@ class GaussianRandomWalkModel(RandomWalkModel):
         n_e = n_expparams(eps)
         n_m = modelparams.shape[0]
         d = self._n_underlying
-        sigma = jnp.exp(modelparams[:, d:])  # (n_m, d) learned per-particle
         z = jax.random.normal(key, (n_m, d, n_e))
-        head = modelparams[:, :d, None] + z * sigma[:, :, None]
-        tail = jnp.broadcast_to(modelparams[:, d:, None], (n_m, d, n_e))
+        if self.diagonal:
+            sigma = jnp.exp(modelparams[:, d:])  # (n_m, d) per-particle
+            step = z * sigma[:, :, None]
+        else:
+            # per-particle Cholesky factor from the learned tail:
+            # diagonal entries live in log space, off-diagonals are raw
+            tril_i, tril_j = np.tril_indices(d)
+            theta = modelparams[:, d:]  # (n_m, d(d+1)/2)
+            entries = jnp.where(
+                jnp.asarray(tril_i == tril_j)[None, :],
+                jnp.exp(theta), theta)
+            L = jnp.zeros((n_m, d, d), modelparams.dtype).at[
+                :, tril_i, tril_j].set(entries)
+            step = jnp.einsum("mij,mjE->miE", L, z)
+        head = modelparams[:, :d, None] + step
+        tail = jnp.broadcast_to(
+            modelparams[:, d:, None], (n_m, self._n_extra, n_e))
         return jnp.concatenate([head, tail], axis=1)
 
 

@@ -43,15 +43,17 @@ def ancestor_multiplicities(weights, u):
 
     ``m_i = ceil(n·F_i − u) − ceil(n·F_{i−1} − u)`` where F is the weight
     CDF. Σ m_i = n exactly (the final CDF value is forced to 1).
+
+    Delegates to the single guarded implementation
+    (:func:`qinfer_tpu.resamplers.counting_multiplicities_from_u` — whose
+    ``cummax`` guard against XLA's non-monotone parallel cumsum is
+    load-bearing); only the counts are returned here.
     """
+    from ..resamplers import counting_multiplicities_from_u
+
     n = weights.shape[0]
-    cdf = jnp.cumsum(weights)
-    cdf = cdf / cdf[-1]
-    scaled = n * cdf - u
-    upper = jnp.ceil(scaled)
-    lower = jnp.concatenate([jnp.zeros((1,), upper.dtype),
-                             upper[:-1]])
-    return (upper - lower).astype(jnp.int32)
+    m, _ = counting_multiplicities_from_u(u, weights, n)
+    return m
 
 
 @jax.jit

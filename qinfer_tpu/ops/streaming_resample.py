@@ -1,0 +1,188 @@
+"""Pallas streaming systematic-resample kernel — the TPU-native
+replacement for the ~20-30 ms XLA scatter floor on the resampling hot path.
+
+Reference anchor: ``src/qinfer/gpu_models.py::AcceleratedPrecessionModel``
+is the reference's one native-code artifact (an OpenCL likelihood kernel);
+this kernel is its TPU-native counterpart for the SECOND hot loop
+(``src/qinfer/resamplers.py::LiuWestResampler.__call__`` ancestor
+selection), which BASELINE.json explicitly mandates moving to Pallas.
+
+Why a kernel at all
+-------------------
+The sort-free counting formulation (docs/PERF_NOTES.md) reduces systematic
+resampling to: multiplicities ``m_i`` and output offsets ``starts_i`` from
+ONE cumsum (sub-ms), then "write ``m_i`` copies of particle ``i`` at
+``starts_i``". XLA can only express that fill as scatter + prefix fill,
+and *any* scatter flavor on TPU v5e costs ~20-30 ms at 2²¹ elements — the
+lowering cannot exploit that these indices are sorted and the writes
+contiguous. This kernel exploits exactly that.
+
+Streaming-merge formulation (no scatter, no gather)
+---------------------------------------------------
+Particle ``i`` owns the contiguous output span ``[starts_i, starts_i +
+m_i)``; spans partition ``[0, n)`` and are emitted in order — so the fill
+is a single left-to-right merge of input blocks against output tiles. TPU
+grid steps on one core run **sequentially**, which makes a carried
+accumulator correct:
+
+* grid = input blocks of ``B`` particles (standard pipelined VMEM loads
+  of their ``starts``/``stops``/coordinates);
+* an SMEM-prefetched ``bounds`` array gives each block's output span
+  ``[bounds[k], bounds[k+1])`` (just ``starts[::B]`` — spans are
+  contiguous);
+* in-kernel, a ``while_loop`` walks the output tiles intersecting the
+  block's span. For each tile, interval membership
+  ``M[s, i] = starts_i <= g_s < stops_i`` is built on the VPU and the
+  tile's rows are produced as ``x_blk @ Mᵀ`` on the **MXU** — the
+  TPU-native way to express a sorted gather: a one-hot matmul. Each
+  output slot matches exactly one particle interval (empty particles
+  have empty intervals), so the matmul reproduces ``x[ancestor]``
+  bit-exactly (every product is ``1·x`` or ``0``).
+* tiles accumulate into a ``(F, d, B)`` VMEM buffer (a boundary tile
+  straddling two input blocks receives both contributions — the
+  sequential carry); every ``F`` completed tiles are flushed to HBM with
+  ONE aligned async copy, so DMA descriptor overhead is amortized.
+
+Skew-proof: a point-mass weight makes one input block span every output
+tile — its grid step simply iterates the while_loop ``n/B`` times while
+all other blocks no-op. Total tile-iterations are ``≤ 2·n/B`` regardless
+of the weight distribution (each tile is visited once per input block
+overlapping it, and spans are contiguous).
+
+Cost: ~2·n·B VPU comparisons + (d, B)·(B, B) MXU matmuls + ~4 regular
+passes over HBM — ~1-2 ms at 2²¹ instead of the 20-30 ms scatter. Output
+is BIT-IDENTICAL to ``qinfer_tpu.resamplers.counting_locations_from_u``
+(same counting prelude, same resampling law, same values).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["streaming_resample_locations"]
+
+#: particle-block / output-tile size. 128 minimizes the O(n·B) VPU
+#: membership-comparison cost while keeping lanes aligned.
+_B = 128
+
+#: tiles per DMA flush chunk — amortizes descriptor overhead (one copy
+#: per F·B output slots).
+_F = 16
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _make_kernel(block, flush, n_out):
+    def kernel(bounds_ref, s_ref, e_ref, x_ref, out_ref, acc, sem):
+        k = pl.program_id(0)
+        span_start = bounds_ref[k]
+        span_end = bounds_ref[k + 1]
+
+        @pl.when(k == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        starts = s_ref[:]           # (1, B) int32
+        stops = e_ref[:]            # (1, B) int32
+        xw = x_ref[:, 0, :]         # (d, B) f32
+
+        def cond(carry):
+            _, go = carry
+            return go
+
+        def body(carry):
+            t, _ = carry
+            # one-hot interval membership for output tile t (slots
+            # [tB, (t+1)B)) against this block's particle spans
+            g = (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+                 + t * block)
+            mem = ((starts <= g) & (g < stops)).astype(jnp.float32)
+            y = jax.lax.dot_general(
+                xw, mem, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (d, B)
+            f = t % flush
+            acc[f] = acc[f] + y
+
+            complete = (t + 1) * block <= span_end
+
+            @pl.when(complete & (f == flush - 1))
+            def _():
+                # the whole chunk t//flush is complete (spans are emitted
+                # left-to-right): one aligned DMA, then recycle
+                dma = pltpu.make_async_copy(
+                    acc, out_ref.at[t // flush], sem)
+                dma.start()
+                dma.wait()
+                acc[...] = jnp.zeros_like(acc)
+
+            go = complete & ((t + 1) * block < span_end)
+            return (t + 1, go)
+
+        t0 = span_start // block
+        jax.lax.while_loop(cond, body, (t0, span_start < span_end))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("block", "flush"))
+def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
+    """Expand each particle's coordinates into its output span.
+
+    :param m: (n,) int32 copy counts (``Σ m = n``), from
+        :func:`qinfer_tpu.resamplers.counting_multiplicities_from_u`.
+    :param starts: (n,) int32 first output slot per particle (the
+        exclusive cumsum of ``m`` — free from the same counting pass).
+    :param locations: (n, d) f32 particle coordinates.
+    :return: (n, d) resampled locations, bit-identical to
+        ``counting_locations_from_u`` with the same ``(m, starts)``.
+    """
+    n, d = locations.shape
+    chunk = block * flush
+    if n % chunk or n < 2 * chunk:
+        raise ValueError(
+            f"n={n} must be a multiple of {chunk} and >= {2 * chunk}")
+    n_blocks = n // block
+    n_chunks = n // chunk
+
+    stops = starts + m
+    # each block's output span start; final bound closes the last span
+    bounds = jnp.concatenate(
+        [starts[::block], jnp.array([n], jnp.int32)])
+
+    s2d = starts.reshape(n_blocks, block)
+    e2d = stops.reshape(n_blocks, block)
+    # lanes run along the particle axis (d is tiny)
+    x3d = locations.astype(jnp.float32).T.reshape(d, n_blocks, block)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, block), lambda k, b: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda k, b: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1, block), lambda k, b: (0, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((flush, d, block), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_kernel(block, flush, n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, flush, d, block), jnp.float32),
+        interpret=_interpret(),
+    )(bounds, s2d, e2d, x3d)
+    return jnp.transpose(out, (2, 0, 1, 3)).reshape(d, n).T

@@ -37,8 +37,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from .._pytree import Module
 from ..config import EPS
+from ..resamplers import Resampler
 from ..utils import sqrtm_psd
 
 __all__ = ["DistributedLiuWestResampler", "shard_systematic_ancestors"]
@@ -74,7 +74,7 @@ def shard_systematic_ancestors(u, shard_masses):
     return jnp.clip(jnp.searchsorted(cdf, positions), 0, d - 1)
 
 
-class DistributedLiuWestResampler(Module):
+class DistributedLiuWestResampler(Resampler):
     """Liu-West resampler that decomposes over a 1-D particle mesh.
 
     Drop-in for :class:`~qinfer_tpu.resamplers.LiuWestResampler` when the
@@ -101,6 +101,12 @@ class DistributedLiuWestResampler(Module):
         self.zero_cov_comp = float(zero_cov_comp)
 
     def __call__(self, model, key, particle_weights, particle_locations):
+        w, x, _ = self.call_with_diagnostics(
+            model, key, particle_weights, particle_locations)
+        return w, x
+
+    def call_with_diagnostics(self, model, key, particle_weights,
+                              particle_locations):
         axis = self.axis_name
         mesh = self.mesh
         n, dim = particle_locations.shape
@@ -180,16 +186,18 @@ class DistributedLiuWestResampler(Module):
 
             new_x, valid, _, _ = jax.lax.while_loop(
                 cond, body, (new_x, valid, k_loop, jnp.asarray(0)))
+            # global degraded-slot count (reference ResamplerWarning path)
+            n_fb = jax.lax.psum(jnp.sum(~valid).astype(jnp.int32), axis)
             new_x = jnp.where(valid[:, None], new_x, x_anc)
             new_x = model.canonicalize(new_x)
             new_w = jnp.full((n_loc,), 1.0 / n, dtype=w_loc.dtype)
-            return new_w, new_x
+            return new_w, new_x, n_fb
 
         shard = P(axis)
         shard2d = P(axis, None)
         mapped = jax.shard_map(
             kernel, mesh=mesh,
             in_specs=(P(), shard, shard2d),
-            out_specs=(shard, shard2d),
+            out_specs=(shard, shard2d, P()),
             check_vma=False)
         return mapped(key, particle_weights, particle_locations)

@@ -220,30 +220,40 @@ def counting_locations_from_u(u, weights, locations, strategy=None):
     """Sort-free systematic resample-to-locations with an explicit uniform
     offset (see :func:`systematic_resample_locations_counting`).
 
-    Two fill strategies compute the same piecewise-constant forward fill
-    of the scattered survivor rows (benchmarked on TPU v5e at 2^21 and
-    selected by backend at trace time):
+    Three fill strategies compute the same expansion of survivors into
+    their contiguous output spans (selected by backend/shape at trace
+    time; all benchmarked on TPU v5e at 2^21 — docs/PERF_NOTES.md):
 
-    * ``associative_scan`` with a (payload, flag) "last-written-wins"
-      combinator — ~10% faster end-to-end on TPU;
-    * **telescoping scatter-add + cumsum** (each survivor adds ``+x_i`` at
-      its first output slot and ``-x_i`` at one-past-its-last, which IS
-      the next survivor's first slot; the prefix sum reproduces the fill)
-      — 43x faster than either sort or scan on CPU, where the generic
-      odd/even ``associative_scan`` recursion is very slow.
-
-    Coordinates are centered on their mean in the telescoping path so the
-    partial sums stay O(spread) and float32 cancellation error is
-    ~sqrt(n)*eps relative to the particle spread, far below the Liu-West
-    kernel bandwidth.
+    * **``pallas`` (TPU default)** — the streaming-merge kernel
+      (:func:`qinfer_tpu.ops.streaming_resample.
+      streaming_resample_locations`): no scatter at all; replaces the
+      ~20-30 ms XLA scatter floor with contiguous one-hot-matmul tile
+      expansion. Bit-identical to ``scan``.
+    * ``scan`` — scatter survivors at their first slot + an
+      ``associative_scan`` "last-written-wins" forward fill (the TPU
+      fallback for non-conforming shapes).
+    * ``telescope`` — scatter-add ``+x_i`` at each survivor's first slot
+      and ``-x_i`` at one-past-its-last + cumsum — 43x faster than the
+      generic scan recursion on CPU; float32 cancellation ~sqrt(n)*eps
+      relative to particle spread (coordinates are mean-centered).
     """
     n, d = locations.shape
     m, offsets = counting_multiplicities_from_u(u, weights, n)
+    if strategy is None:
+        if jax.default_backend() == "cpu":
+            strategy = "telescope"
+        else:
+            from .ops.streaming_resample import _B, _F
+
+            chunk = _B * _F
+            strategy = ("pallas" if (n % chunk == 0 and n >= 2 * chunk)
+                        else "scan")
+    if strategy == "pallas":
+        from .ops.streaming_resample import streaming_resample_locations
+
+        return streaming_resample_locations(m, offsets, locations)
     alive = m > 0
     start = _scatter_indices(m, offsets, n)
-    if strategy is None:
-        strategy = ("telescope" if jax.default_backend() == "cpu"
-                    else "scan")
     if strategy == "telescope":
         mu = jnp.mean(locations, axis=0)
         xc = jnp.where(alive[:, None], locations - mu[None, :], 0.0)
@@ -314,10 +324,24 @@ def multinomial_ancestors(key, weights, n_out=None):
 
 class Resampler(Module):
     """Abstract resampler protocol: ``__call__(model, key, weights,
-    locations) -> (new_weights, new_locations)``."""
+    locations) -> (new_weights, new_locations)``.
+
+    Resamplers may additionally implement :meth:`call_with_diagnostics`
+    to report degraded-strategy events (the reference's
+    ``ResamplerWarning`` path) as a traced count the engine accumulates.
+    """
 
     def __call__(self, model, key, particle_weights, particle_locations):
         raise NotImplementedError
+
+    def call_with_diagnostics(self, model, key, particle_weights,
+                              particle_locations):
+        """Like ``__call__`` but returns ``(weights, locations,
+        n_fallback)`` where ``n_fallback`` (traced i32) counts particle
+        slots that required a degraded fallback (0 for resamplers without
+        a rejection loop)."""
+        w, x = self(model, key, particle_weights, particle_locations)
+        return w, x, jnp.asarray(0, jnp.int32)
 
 
 class LiuWestResampler(Resampler):
@@ -354,6 +378,12 @@ class LiuWestResampler(Resampler):
         self.kind = kind
 
     def __call__(self, model, key, particle_weights, particle_locations):
+        w, x, _ = self.call_with_diagnostics(
+            model, key, particle_weights, particle_locations)
+        return w, x
+
+    def call_with_diagnostics(self, model, key, particle_weights,
+                              particle_locations):
         w = jnp.asarray(particle_weights)
         x = jnp.asarray(particle_locations)
         n, d = x.shape
@@ -376,9 +406,17 @@ class LiuWestResampler(Resampler):
         S = L * self.h
 
         if self.kind == "systematic":
-            if d <= 4:
-                # sort-free AND gather-free: counting formulation + scatter
-                # + log-depth forward fill
+            use_fill = d <= 4
+            if jax.default_backend() == "tpu":
+                # the Pallas streaming fill beats the row gather at ANY d
+                # (no random HBM access at all) whenever shapes conform
+                from .ops.streaming_resample import _B, _F
+
+                chunk = _B * _F
+                use_fill = use_fill or (n % chunk == 0 and n >= 2 * chunk)
+            if use_fill:
+                # sort-free AND gather-free: counting formulation +
+                # streaming/telescoping fill
                 x_anc = systematic_resample_locations_counting(k_anc, w, x)
             else:
                 x_anc = x[systematic_ancestors_counting(k_anc, w)]
@@ -393,6 +431,7 @@ class LiuWestResampler(Resampler):
 
         k_first, k_loop = jax.random.split(k_draw)
         new_x = propose(k_first)
+        n_fallback = jnp.asarray(0, jnp.int32)
         if self.postselect and self.maxiter > 0:
             valid = model.are_models_valid(new_x)
 
@@ -418,9 +457,12 @@ class LiuWestResampler(Resampler):
                 cond, body, (new_x, valid, k_loop, jnp.asarray(0)))
             # Fallback: still-invalid slots inherit their ancestor directly
             # (ancestors are valid by induction) — the bounded-shape analogue
-            # of the reference's ResamplerWarning path.
+            # of the reference's ResamplerWarning path. The count is
+            # surfaced to the engine, which accumulates it in the state and
+            # emits ``ResamplerWarning`` host-side when it grows.
+            n_fallback = jnp.sum(~valid).astype(jnp.int32)
             new_x = jnp.where(valid[:, None], new_x, x_anc)
 
         new_x = model.canonicalize(new_x)
         new_w = jnp.full((n,), 1.0 / n, dtype=w.dtype)
-        return new_w, new_x
+        return new_w, new_x, n_fallback

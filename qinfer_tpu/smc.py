@@ -75,6 +75,7 @@ class SMCState(NamedTuple):
     log_total_likelihood: jax.Array  # f32 scalar
     min_n_ess: jax.Array      # f32 scalar
     zero_weight_count: jax.Array  # i32 scalar
+    resampler_fallback_count: jax.Array  # i32 scalar
 
     @property
     def n_particles(self):
@@ -100,6 +101,7 @@ class SMCState(NamedTuple):
             log_total_likelihood=jnp.asarray(0.0, dtype=jnp.float32),
             min_n_ess=jnp.asarray(float(n), dtype=jnp.float32),
             zero_weight_count=jnp.asarray(0, dtype=jnp.int32),
+            resampler_fallback_count=jnp.asarray(0, dtype=jnp.int32),
         )
 
 
@@ -241,14 +243,16 @@ def _update_step_impl(model, resampler, state, outcome, eps,
         if resample_gate is not None:
             do_resample = do_resample & resample_gate
         key, sub = jax.random.split(key)
-        new_w, locs = jax.lax.cond(
+        new_w, locs, n_fallback = jax.lax.cond(
             do_resample,
-            lambda args: resampler(model, sub, args[0], args[1]),
-            lambda args: args,
+            lambda args: resampler.call_with_diagnostics(
+                model, sub, args[0], args[1]),
+            lambda args: args + (jnp.asarray(0, jnp.int32),),
             (new_w, locs),
         )
     else:
         do_resample = jnp.asarray(False)
+        n_fallback = jnp.asarray(0, jnp.int32)
 
     new_state = SMCState(
         weights=new_w,
@@ -259,6 +263,8 @@ def _update_step_impl(model, resampler, state, outcome, eps,
         log_total_likelihood=log_total,
         min_n_ess=min_ess,
         zero_weight_count=state.zero_weight_count + was_zero.astype(jnp.int32),
+        resampler_fallback_count=(state.resampler_fallback_count
+                                  + n_fallback),
     )
     return new_state, log_norm, was_zero
 
@@ -299,9 +305,11 @@ def _update_step_eager(model, resampler, state, outcome, eps,
 
     ess = 1.0 / jnp.sum(new_w * new_w)
     do_resample = bool(check_resample) and bool(ess <= resample_thresh * n)
+    n_fallback = jnp.asarray(0, jnp.int32)
     if do_resample:
         key, sub = jax.random.split(key)
-        new_w, locs = resampler(model, sub, new_w, locs)
+        new_w, locs, n_fallback = resampler.call_with_diagnostics(
+            model, sub, new_w, locs)
 
     new_state = SMCState(
         weights=new_w,
@@ -312,6 +320,8 @@ def _update_step_eager(model, resampler, state, outcome, eps,
         log_total_likelihood=log_total,
         min_n_ess=jnp.minimum(state.min_n_ess, ess),
         zero_weight_count=state.zero_weight_count + int(was_zero),
+        resampler_fallback_count=(state.resampler_fallback_count
+                                  + n_fallback),
     )
     return new_state, log_norm, jnp.asarray(was_zero)
 
@@ -497,6 +507,8 @@ class SMCUpdater:
                 state.log_total_likelihood, repl),
             min_n_ess=jax.device_put(state.min_n_ess, repl),
             zero_weight_count=jax.device_put(state.zero_weight_count, repl),
+            resampler_fallback_count=jax.device_put(
+                state.resampler_fallback_count, repl),
         )
 
     @property
@@ -537,6 +549,15 @@ class SMCUpdater:
     @property
     def just_resampled(self):
         return bool(self._state.just_resampled)
+
+    @property
+    def resampler_fallback_count(self):
+        """Total number of particle slots (over the whole run) where the
+        bounded validity-redraw loop exhausted its budget and the slot fell
+        back to its ancestor's location. Host-readable diagnostic for the
+        reference's ``ResamplerWarning`` path (``src/qinfer/resamplers.py::
+        ResamplerWarning``); nonzero deltas also emit the warning."""
+        return int(self._state.resampler_fallback_count)
 
     @property
     def log_total_likelihood(self):
@@ -594,6 +615,9 @@ class SMCUpdater:
             check_resample=bool(check_for_resample))
         if bool(was_zero):
             self._handle_zero_weight()
+        self._warn_resampler_fallback(
+            int(new_state.resampler_fallback_count)
+            - int(prev_state.resampler_fallback_count))
         self._state = new_state
         if bool(new_state.just_resampled):
             self._on_resample_diagnostics(prev_state, new_state)
@@ -627,6 +651,9 @@ class SMCUpdater:
             self._state.zero_weight_count)
         if zero_events > 0:
             self._handle_zero_weight()
+        self._warn_resampler_fallback(
+            int(new_state.resampler_fallback_count)
+            - int(self._state.resampler_fallback_count))
         self._state = new_state
         norms = np.exp(np.asarray(log_norms, dtype=np.float64))
         self.data_record.extend(np.asarray(outcomes).tolist())
@@ -659,6 +686,19 @@ class SMCUpdater:
                 float(1.0 / jnp.sum(prev_state.weights ** 2)),
                 float(1.0 / jnp.sum(new_state.weights ** 2)))
 
+    def _warn_resampler_fallback(self, n_slots):
+        """Reference parity: ``resamplers.py::ResamplerWarning`` — the
+        reference warns when its rejection loop exhausts ``maxiter``; here
+        the equivalent event is bounded-redraw slots falling back to their
+        ancestors, counted on-device and surfaced once per update call."""
+        if n_slots > 0:
+            from ._exceptions import ResamplerWarning
+
+            warnings.warn(
+                f"resampler validity redraw exhausted its budget for "
+                f"{n_slots} particle slot(s); those slots kept their "
+                f"ancestors' (valid) locations", ResamplerWarning)
+
     def _handle_zero_weight(self):
         msg = ("all particle weights are numerically zero; the observed "
                "outcome is inconsistent with every particle")
@@ -675,12 +715,15 @@ class SMCUpdater:
         """
         st = self._state
         key, sub = jax.random.split(st.key)
-        new_w, new_x = self.resampler(
+        new_w, new_x, n_fallback = self.resampler.call_with_diagnostics(
             self.model, sub, st.weights, st.locations)
+        self._warn_resampler_fallback(int(n_fallback))
         self._state = st._replace(
             weights=new_w, locations=new_x, key=key,
             resample_count=st.resample_count + 1,
-            just_resampled=jnp.asarray(True))
+            just_resampled=jnp.asarray(True),
+            resampler_fallback_count=(st.resampler_fallback_count
+                                      + n_fallback))
 
     # -- estimators --------------------------------------------------------
 
@@ -744,12 +787,28 @@ class SMCUpdater:
             h2 = kernel_bandwidth ** 2
 
         def log_kde(pts, w_ref, x_ref):
-            # log Σ_j w_j N(pts; x_j, h² I)
-            d2 = jnp.sum(
-                (pts[:, None, :] - x_ref[None, :, :]) ** 2, axis=-1)
-            log_k = -0.5 * d2 / h2 - 0.5 * d * jnp.log(2 * jnp.pi * h2)
-            return jax.scipy.special.logsumexp(
-                log_k + jnp.log(jnp.clip(w_ref, EPS, None)), axis=1)
+            # log Σ_j w_j N(pts; x_j, h² I), evaluated blockwise over the
+            # points axis: the full (n_p × n_ref) distance matrix is O(n²)
+            # memory (~17 TB at 2²¹-particle ensembles); blocks keep the
+            # working set bounded while the reduction stays exact.
+            log_w = jnp.log(jnp.clip(w_ref, EPS, None))
+            log_const = -0.5 * d * jnp.log(2 * jnp.pi * h2)
+
+            def block_lse(block):
+                d2 = jnp.sum(
+                    (block[:, None, :] - x_ref[None, :, :]) ** 2, axis=-1)
+                return jax.scipy.special.logsumexp(
+                    -0.5 * d2 / h2 + log_w[None, :], axis=1) + log_const
+
+            n_pts = pts.shape[0]
+            n_ref = x_ref.shape[0]
+            block = max(1, min(n_pts, (1 << 22) // max(n_ref, 1)))
+            if n_pts % block:  # pad; padded rows are discarded below
+                pad = block - n_pts % block
+                pts = jnp.concatenate([pts, pts[:1].repeat(pad, axis=0)])
+            out = jax.lax.map(
+                block_lse, pts.reshape(-1, block, pts.shape[1]))
+            return out.reshape(-1)[:n_pts]
 
         log_p = log_kde(x_p, w_p, x_p)
         log_q = log_kde(x_p, w_q, x_q)
@@ -1095,9 +1154,15 @@ class SMCUpdaterBCRB(SMCUpdater):
 
     @property
     def current_bcrb(self):
-        """inv(BIM) — the Bayesian Cramér-Rao lower bound on the posterior
-        covariance."""
-        return np.linalg.inv(self._current_bim)
+        """pinv(BIM) — the Bayesian Cramér-Rao lower bound on the posterior
+        covariance.
+
+        Uses the pseudo-inverse: with a flat prior (no ``grad_log_pdf``)
+        the prior term of the BIM is zero, so before enough experiments
+        accumulate the matrix is singular and a strict ``inv`` raises
+        (reference anchor: ``smc.py::SMCUpdaterBCRB``); the pinv returns
+        the bound on the identified subspace and 0 elsewhere."""
+        return np.linalg.pinv(self._current_bim)
 
     def update(self, outcome, expparams, check_for_resample=True):
         eps = self.model.canonicalize_expparams(expparams)

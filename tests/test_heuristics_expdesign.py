@@ -188,7 +188,9 @@ def test_designer_cost_weighting_continuous():
     r0, _ = d._risk_of(eps, "t", jnp.array([2.0]), cost_scale_k=0.0)
     r1, _ = d._risk_of(eps, "t", jnp.array([2.0]), cost_scale_k=1.0)
     r1eps, _ = d._risk_of(eps, "t", jnp.array([2.0]), cost_scale_k=1.0 + 1e-7)
-    assert np.isclose(r1[0] - r0[0], 2.0, atol=1e-3)  # cost = t = 2
+    # reference parity: experiment_cost defaults to ones (NOT the 't'
+    # field) — abstract_model.py::Simulatable.experiment_cost
+    assert np.isclose(r1[0] - r0[0], 1.0, atol=1e-3)
     assert np.isclose(r1[0], r1eps[0], atol=1e-3)     # continuous in k
 
 

@@ -256,6 +256,8 @@ def test_state_checkpoint_roundtrip(tmp_path):
         log_total_likelihood=jnp.asarray(loaded["log_total_likelihood"]),
         min_n_ess=jnp.asarray(loaded["min_n_ess"]),
         zero_weight_count=jnp.asarray(loaded["zero_weight_count"]),
+        resampler_fallback_count=jnp.asarray(
+            loaded["resampler_fallback_count"]),
     )
     u2 = q.SMCUpdater(q.SimplePrecessionModel(), 2000,
                       q.UniformDistribution([[0, 1]]), seed=0)

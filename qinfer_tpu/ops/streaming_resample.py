@@ -91,7 +91,7 @@ def _make_kernel(block, flush, n_out):
 
         starts = s_ref[:]           # (1, B) int32
         stops = e_ref[:]            # (1, B) int32
-        xw = x_ref[:, 0, :]         # (d, B) f32
+        xw = x_ref[:]               # (d, B) f32
 
         def cond(carry):
             _, go = carry
@@ -104,8 +104,14 @@ def _make_kernel(block, flush, n_out):
             g = (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
                  + t * block)
             mem = ((starts <= g) & (g < stops)).astype(jnp.float32)
+            # HIGHEST: the MXU truncates f32 operands to bf16 by default
+            # (measured on v5e: output = ancestors' coords rounded to 8
+            # mantissa bits). The 3-pass bf16 split is exact here — each
+            # product is (hi|mid|lo)·1.0 or ·0.0 accumulated in f32, so
+            # the one-hot selection is bit-identical to x[ancestor].
             y = jax.lax.dot_general(
                 xw, mem, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)  # (d, B)
             f = t % flush
             acc[f] = acc[f] + y
@@ -156,20 +162,23 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
     bounds = jnp.concatenate(
         [starts[::block], jnp.array([n], jnp.int32)])
 
-    s2d = starts.reshape(n_blocks, block)
-    e2d = stops.reshape(n_blocks, block)
+    # row layouts — TPU block shapes must have their second-to-last dim
+    # equal to the full array dim (or a multiple of 8), so the per-block
+    # windows are cut along the LANE axis of flat (1, n) / (d, n) arrays
+    s2d = starts.reshape(1, n)
+    e2d = stops.reshape(1, n)
     # lanes run along the particle axis (d is tiny)
-    x3d = locations.astype(jnp.float32).T.reshape(d, n_blocks, block)
+    x2d = locations.astype(jnp.float32).T
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, block), lambda k, b: (k, 0),
+            pl.BlockSpec((1, block), lambda k, b: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda k, b: (k, 0),
+            pl.BlockSpec((1, block), lambda k, b: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1, block), lambda k, b: (0, k, 0),
+            pl.BlockSpec((d, block), lambda k, b: (0, k),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -184,5 +193,5 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
         out_shape=jax.ShapeDtypeStruct(
             (n_chunks, flush, d, block), jnp.float32),
         interpret=_interpret(),
-    )(bounds, s2d, e2d, x3d)
+    )(bounds, s2d, e2d, x2d)
     return jnp.transpose(out, (2, 0, 1, 3)).reshape(d, n).T

@@ -1,9 +1,22 @@
-"""Headline benchmark: particle-updates/s/chip on SimplePrecessionModel.
+"""Headline benchmark: particle-updates/s/chip on the precession model.
 
-Runs the fully-compiled adaptive SMC loop (PGH heuristic → outcome
-simulation → fused reweight/resample step, all inside one ``lax.scan``) on
-the available accelerator and reports throughput as particle-updates per
-second per chip.
+Runs the fully-compiled adaptive SMC loop (production PGH proposal →
+outcome simulation → fused reweight/resample step, all inside one
+``lax.scan``) on the available accelerator and reports throughput as
+particle-updates per second per chip.
+
+This drives the code paths the library actually advertises:
+* the model is :class:`qinfer_tpu.ops.accelerated.
+  AcceleratedPrecessionModel`, so the engine's ``fused_reweight`` hook
+  runs the Pallas fused likelihood × weight × normalization kernel;
+* the proposal is the production :meth:`qinfer_tpu.heuristics.PGH.propose`
+  (exclusion sampling of the second particle, Q-weighted distance);
+* the Liu-West resample uses the Pallas streaming-merge fill
+  (``ops/streaming_resample.py``) — no XLA scatter on the hot path.
+
+``--engine xla`` swaps in the plain ``SimplePrecessionModel`` + XLA
+counting-scan resample fill to measure the Pallas delta (recorded in
+docs/PERF_NOTES.md).
 
 Baseline: the reference (QInfer) publishes no numbers (BASELINE.md); the
 driver-set north star is ≥ 1e7 particle-updates/s/chip, so
@@ -13,6 +26,7 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
+import argparse
 import json
 import sys
 import time
@@ -33,29 +47,33 @@ N_REPEATS = 3              # timed repetitions (best taken)
 BASELINE = 1e7             # driver north star: particle-updates/s/chip
 
 
-def build_run():
+def build_run(engine="fused"):
     import qinfer_tpu as q
     from qinfer_tpu.smc import SMCState, _update_step_impl
     from qinfer_tpu.resamplers import LiuWestResampler
+    from qinfer_tpu.heuristics import PGH
 
-    model = q.SimplePrecessionModel()
+    if engine == "fused":
+        from qinfer_tpu.ops.accelerated import AcceleratedPrecessionModel
+
+        model = AcceleratedPrecessionModel()
+    else:
+        model = q.SimplePrecessionModel()
     prior = q.UniformDistribution([[0.0, 1.0]])
     resampler = LiuWestResampler(a=0.98)
     resample_thresh = 0.5
     zero_thresh = 1e-10
 
+    # production PGH proposal (pure keyed form); the tiny helper updater
+    # only binds the model — propose() never touches it
+    pgh = PGH(q.SMCUpdater(model, 16, prior, seed=99))
+
     true_omega = jnp.array([[0.7]], dtype=jnp.float32)
 
     def step(carry, idx):
         st, key = carry
-        key, k_pgh1, k_pgh2, k_sim = jax.random.split(key, 4)
-        # PGH: t = 1 / |omega_1 - omega_2| from two posterior draws
-        logits = jnp.log(jnp.clip(st.weights, 1e-35, None))
-        i = jax.random.categorical(k_pgh1, logits)
-        j = jax.random.categorical(k_pgh2, logits)
-        sep = jnp.abs(st.locations[i, 0] - st.locations[j, 0])
-        t = 1.0 / jnp.maximum(sep, 1e-12)
-        eps = {"t": t[None]}
+        key, k_pgh, k_sim = jax.random.split(key, 3)
+        eps = pgh.propose(k_pgh, st.weights, st.locations, idx)
         outcome = model.simulate_experiment(k_sim, true_omega, eps)
         outcome = jnp.asarray(outcome).reshape(-1)[0]
         new_st, _, _ = _update_step_impl(
@@ -79,7 +97,12 @@ def build_run():
 
 
 def main():
-    run, make_state = build_run()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--engine", choices=["fused", "xla"],
+                        default="fused")
+    args = parser.parse_args()
+
+    run, make_state = build_run(args.engine)
 
     # Warmup / compile
     state, key = make_state(0)

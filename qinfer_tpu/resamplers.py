@@ -245,9 +245,9 @@ def counting_locations_from_u(u, weights, locations, strategy=None):
         else:
             from .ops.streaming_resample import _B, _F
 
-            chunk = _B * _F
-            strategy = ("pallas" if (n % chunk == 0 and n >= 2 * chunk)
-                        else "scan")
+            # the kernel pads any n internally; below one flush chunk the
+            # padding overhead outweighs the scatter it avoids
+            strategy = "pallas" if n >= _B * _F else "scan"
     if strategy == "pallas":
         from .ops.streaming_resample import streaming_resample_locations
 
@@ -409,11 +409,10 @@ class LiuWestResampler(Resampler):
             use_fill = d <= 4
             if jax.default_backend() == "tpu":
                 # the Pallas streaming fill beats the row gather at ANY d
-                # (no random HBM access at all) whenever shapes conform
+                # (no random HBM access at all); the kernel pads any n
                 from .ops.streaming_resample import _B, _F
 
-                chunk = _B * _F
-                use_fill = use_fill or (n % chunk == 0 and n >= 2 * chunk)
+                use_fill = use_fill or (n >= _B * _F)
             if use_fill:
                 # sort-free AND gather-free: counting formulation +
                 # streaming/telescoping fill

@@ -95,6 +95,35 @@ def test_shard_existing_updater():
     assert np.isfinite(float(u.est_mean()[0]))
 
 
+def test_sharded_experiment_design_scores():
+    """BASELINE config 5 path: EIG / Bayes-risk scoring over a candidate
+    batch with the particle axis sharded — the (n_out, n, n_cand)
+    likelihood contraction must cross the sharding (XLA auto-collectives)
+    and agree with the unsharded scores."""
+    pm = ParticleMesh()
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    cand = {"t": jnp.geomspace(0.5, 50.0, 12).astype(jnp.float32)}
+
+    u_sh = q.SMCUpdater(model, 4000, prior, seed=21,
+                        sharding=pm.particle_sharding)
+    u_ser = q.SMCUpdater(model, 4000, prior, seed=21)
+    for k in range(5):
+        t = {"t": jnp.array([(9 / 8) ** k])}
+        u_sh.update(1, t)
+        u_ser.update(1, t)
+
+    eig_sh = np.asarray(u_sh.expected_information_gain(cand))
+    eig_ser = np.asarray(u_ser.expected_information_gain(cand))
+    risk_sh = np.asarray(u_sh.bayes_risk(cand))
+    risk_ser = np.asarray(u_ser.bayes_risk(cand))
+    assert eig_sh.shape == (12,) and np.all(np.isfinite(eig_sh))
+    np.testing.assert_allclose(eig_sh, eig_ser, rtol=1e-5, atol=1e-6)
+    # risk's posterior variance (E[x²] − μ²) is cancellation-sensitive, so
+    # the sharded reduction order shifts it more than the entropy sums
+    np.testing.assert_allclose(risk_sh, risk_ser, rtol=2e-3, atol=1e-6)
+
+
 class MockDirectView:
     """Serial stand-in for an ipyparallel DirectView (the reference's test
     pattern)."""

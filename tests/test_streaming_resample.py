@@ -116,9 +116,39 @@ def test_default_tpu_tiling_shapes():
     _run(jnp.asarray(w), x, 0.7, block=128, flush=16)
 
 
-def test_shape_guards():
-    m = jnp.zeros((300,), jnp.int32)
-    s = jnp.zeros((300,), jnp.int32)
-    x = jnp.zeros((300, 1))
-    with pytest.raises(ValueError):
-        streaming_resample_locations(m, s, x)
+@pytest.mark.parametrize("n", [300, 1000, 1025, 4096 + 1, 500])
+def test_nonconforming_n_padded(n):
+    """n that is not a multiple of block*flush (or below two chunks) is
+    padded internally with a dummy tail span; the sliced result must stay
+    bit-identical to the XLA fill (the tomography config runs at 500k
+    particles, which is not a multiple of 2048)."""
+    rng = np.random.default_rng(n)
+    w = rng.pareto(0.5, n).astype(np.float32) + 1e-12
+    w /= w.sum()
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    _run(jnp.asarray(w), x, 0.31)
+
+
+@pytest.mark.parametrize("d", [1, 2, 3, 4, 5, 8, 13, 16])
+def test_nonaligned_d_padded(d):
+    """d that is not a packable sublane count (1/2/4/multiple-of-8) is
+    padded with zero columns and sliced back — process tomography runs at
+    d=16, qubit state tomography at d=3."""
+    n = 4096
+    rng = np.random.default_rng(d)
+    w = rng.pareto(0.6, n).astype(np.float32) + 1e-12
+    w /= w.sum()
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    _run(jnp.asarray(w), x, 0.42)
+
+
+def test_nonconforming_n_point_mass_tail():
+    """Point mass on the LAST particle with non-conforming n: the real
+    span ends exactly at n, adjacent to the dummy tail span."""
+    n = 1000
+    w = np.full(n, 1e-15, np.float32)
+    w[n - 1] = 1.0
+    w /= w.sum()
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    _run(jnp.asarray(w), x, 0.5)

@@ -14,9 +14,11 @@ This drives the code paths the library actually advertises:
 * the Liu-West resample uses the Pallas streaming-merge fill
   (``ops/streaming_resample.py``) — no XLA scatter on the hot path.
 
-``--engine xla`` swaps in the plain ``SimplePrecessionModel`` + XLA
-counting-scan resample fill to measure the Pallas delta (recorded in
-docs/PERF_NOTES.md).
+``--engine xla`` swaps in the plain ``SimplePrecessionModel`` AND pins
+the resampler to the XLA counting-scan fill
+(``LiuWestResampler(fill_strategy='scan')``), so the full Pallas delta
+(fused reweight + streaming resample) is reproducible through this one
+script (recorded in docs/PERF_NOTES.md).
 
 Baseline: the reference (QInfer) publishes no numbers (BASELINE.md); the
 driver-set north star is ≥ 1e7 particle-updates/s/chip, so
@@ -60,13 +62,20 @@ def build_run(engine="fused"):
     else:
         model = q.SimplePrecessionModel()
     prior = q.UniformDistribution([[0.0, 1.0]])
-    resampler = LiuWestResampler(a=0.98)
+    resampler = LiuWestResampler(
+        a=0.98, fill_strategy="scan" if engine == "xla" else None)
     resample_thresh = 0.5
     zero_thresh = 1e-10
 
-    # production PGH proposal (pure keyed form); the tiny helper updater
-    # only binds the model — propose() never touches it
-    pgh = PGH(q.SMCUpdater(model, 16, prior, seed=99))
+    # production PGH proposal (pure keyed form); propose() only reads the
+    # model off the "updater", so bind it through a stub (the same pattern
+    # perf_testing uses) instead of allocating a throwaway ensemble
+    class _Stub:
+        pass
+
+    stub = _Stub()
+    stub.model = model
+    pgh = PGH(stub)
 
     true_omega = jnp.array([[0.7]], dtype=jnp.float32)
 

@@ -336,6 +336,16 @@ class MultinomialModel(DerivedModel):
         """
         grid = getattr(self, "_outcome_grid_cache", None)
         if grid is None:
+            n_out = self.n_outcomes()
+            if n_out > 200_000:
+                raise ValueError(
+                    f"MultinomialModel's static outcome grid would hold "
+                    f"{n_out} count vectors (n_meas_max="
+                    f"{self.n_meas_max}, {self.n_elements} outcomes) — "
+                    f"design-time marginalization (bayes_risk / "
+                    f"expected_information_gain) is intractable at this "
+                    f"size; reduce n_meas_max. Simulation and likelihood "
+                    f"updates do not need this grid and keep working.")
             from .domains import _compositions
 
             # compositions of n_meas_max into k+1 parts, dropping the slack

@@ -157,7 +157,7 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
     # coordinate axis up to the next power of two (<=8) or multiple of 8;
     # the zero columns ride along and are sliced off at the end.
     d_out = d
-    d_pad = d if d in (1, 2, 4) else -(-d // 8) * 8
+    d_pad = (1 << (d - 1).bit_length()) if d <= 8 else -(-d // 8) * 8
     if d_pad != d:
         locations = jnp.pad(locations.astype(jnp.float32),
                             ((0, 0), (0, d_pad - d)))

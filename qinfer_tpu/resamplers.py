@@ -240,14 +240,7 @@ def counting_locations_from_u(u, weights, locations, strategy=None):
     n, d = locations.shape
     m, offsets = counting_multiplicities_from_u(u, weights, n)
     if strategy is None:
-        if jax.default_backend() == "cpu":
-            strategy = "telescope"
-        else:
-            from .ops.streaming_resample import _B, _F
-
-            # the kernel pads any n internally; below one flush chunk the
-            # padding overhead outweighs the scatter it avoids
-            strategy = "pallas" if n >= _B * _F else "scan"
+        strategy = _default_fill_strategy(n)
     if strategy == "pallas":
         from .ops.streaming_resample import streaming_resample_locations
 
@@ -298,7 +291,8 @@ def systematic_ancestors_counting(key, weights, n_out=None):
         jax.random.uniform(key, ()), weights, n_out)
 
 
-def systematic_resample_locations_counting(key, weights, locations):
+def systematic_resample_locations_counting(key, weights, locations,
+                                           strategy=None):
     """Sort-free systematic resampling producing the resampled particle
     **locations directly** — no sort AND no random gather (scatter the
     survivors, forward-fill; strategies and precision notes in
@@ -308,7 +302,30 @@ def systematic_resample_locations_counting(key, weights, locations):
         ``locations[systematic_ancestors(key, weights)]``).
     """
     return counting_locations_from_u(
-        jax.random.uniform(key, ()), weights, locations)
+        jax.random.uniform(key, ()), weights, locations, strategy=strategy)
+
+
+def _default_fill_strategy(n):
+    """The ONE place that decides how a counting fill is materialized for
+    the current backend (duplicating this logic previously let the
+    resampler and the fill disagree):
+
+    * CPU → ``telescope`` (the generic odd/even scan recursion crawls);
+    * TPU with at least one DMA chunk of particles → the Pallas
+      ``pallas`` streaming kernel (pads any n/d internally);
+    * anything else → ``scan`` (never ``pallas``: the kernel only lowers
+      natively on TPU, and interpret-mode at engine sizes is effectively
+      a hang).
+    """
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return "telescope"
+    if backend == "tpu":
+        from .ops.streaming_resample import _B, _F
+
+        if n >= _B * _F:
+            return "pallas"
+    return "scan"
 
 
 def multinomial_ancestors(key, weights, n_out=None):
@@ -361,11 +378,15 @@ class LiuWestResampler(Resampler):
     :param bool postselect: disable to skip the validity redraw entirely.
     :param float zero_cov_comp: diagonal jitter added when Σ is singular.
     :param str kind: ``'systematic'`` (default) or ``'multinomial'``.
+    :param fill_strategy: override the backend-selected ancestor-fill
+        strategy (``'pallas'``/``'scan'``/``'telescope'``; None = auto).
+        Benchmarks use this to measure the Pallas-vs-XLA fill delta
+        through the full engine.
     """
 
     def __init__(self, a=0.98, h=None, maxiter=10, debug=False,
                  postselect=True, zero_cov_comp=1e-10, kernel=None,
-                 kind="systematic"):
+                 kind="systematic", fill_strategy=None):
         self.a = float(a)
         self.h = float(h) if h is not None else math.sqrt(max(1.0 - a ** 2, 0.0))
         self.maxiter = int(maxiter)
@@ -376,6 +397,11 @@ class LiuWestResampler(Resampler):
         if kind not in ("systematic", "multinomial"):
             raise ValueError("kind must be 'systematic' or 'multinomial'")
         self.kind = kind
+        if fill_strategy not in (None, "pallas", "scan", "telescope"):
+            raise ValueError(
+                "fill_strategy must be None, 'pallas', 'scan' or "
+                "'telescope'")
+        self.fill_strategy = fill_strategy
 
     def __call__(self, model, key, particle_weights, particle_locations):
         w, x, _ = self.call_with_diagnostics(
@@ -406,17 +432,18 @@ class LiuWestResampler(Resampler):
         S = L * self.h
 
         if self.kind == "systematic":
-            use_fill = d <= 4
-            if jax.default_backend() == "tpu":
-                # the Pallas streaming fill beats the row gather at ANY d
-                # (no random HBM access at all); the kernel pads any n
-                from .ops.streaming_resample import _B, _F
-
-                use_fill = use_fill or (n >= _B * _F)
+            # fill (gather-free) whenever the Pallas streaming kernel is
+            # eligible (it beats the row gather at ANY d — no random HBM
+            # access at all), at small d where the telescoping/scan fill
+            # beats the row gather, or when the caller pinned a strategy
+            strategy = self.fill_strategy or _default_fill_strategy(n)
+            use_fill = (d <= 4 or strategy == "pallas"
+                        or self.fill_strategy is not None)
             if use_fill:
                 # sort-free AND gather-free: counting formulation +
                 # streaming/telescoping fill
-                x_anc = systematic_resample_locations_counting(k_anc, w, x)
+                x_anc = systematic_resample_locations_counting(
+                    k_anc, w, x, strategy=strategy)
             else:
                 x_anc = x[systematic_ancestors_counting(k_anc, w)]
         else:

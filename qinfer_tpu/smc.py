@@ -802,7 +802,10 @@ class SMCUpdater:
 
             n_pts = pts.shape[0]
             n_ref = x_ref.shape[0]
-            block = max(1, min(n_pts, (1 << 22) // max(n_ref, 1)))
+            # the broadcast difference materializes (block, n_ref, d)
+            # before the axis=-1 sum, so the element budget must include d
+            block = max(1, min(
+                n_pts, (1 << 22) // max(n_ref * pts.shape[1], 1)))
             if n_pts % block:  # pad; padded rows are discarded below
                 pad = block - n_pts % block
                 pts = jnp.concatenate([pts, pts[:1].repeat(pad, axis=0)])

@@ -283,3 +283,50 @@ def test_ancestor_multiplicities_shares_guarded_impl():
     np.testing.assert_array_equal(m1, np.asarray(m2))
     assert m1.sum() == 4096
     assert m1.min() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Round-2 review findings
+# ---------------------------------------------------------------------------
+
+def test_liu_west_fill_strategy_override():
+    """``LiuWestResampler(fill_strategy=...)`` pins the ancestor-fill
+    strategy (benchmarks use this to measure the Pallas-vs-XLA delta
+    through the full engine); all strategies implement the same
+    resampling law, so posteriors must stay statistically identical."""
+    from qinfer_tpu.resamplers import LiuWestResampler
+
+    key = jax.random.key(3)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (512, 2))
+    w = jax.random.dirichlet(k2, jnp.ones(512))
+    model = q.SimplePrecessionModel()
+
+    outs = {}
+    for strat in ("scan", "telescope"):
+        rs = LiuWestResampler(a=0.98, fill_strategy=strat)
+        outs[strat] = rs(model, key, w, x)
+    # same key + same counting prelude: ancestors agree, so the proposals
+    # agree up to fill-strategy float-associativity (telescope cancels)
+    np.testing.assert_allclose(np.asarray(outs["scan"][1]),
+                               np.asarray(outs["telescope"][1]),
+                               rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError):
+        LiuWestResampler(fill_strategy="bogus")
+
+
+def test_multinomial_huge_grid_fails_fast():
+    """A combinatorially intractable design grid must raise a pointed
+    error from ``outcomes()`` instead of hanging in a recursive Python
+    enumeration and then OOMing in bayes_risk; simulation paths that
+    never touch the grid keep working."""
+    die = q.NDieModel(n=6)
+    m = q.MultinomialModel(die, n_meas_max=32)   # C(38,6) ~ 2.76e6 rows
+    eps = {"exp_num": jnp.array([0], dtype=jnp.int32),
+           "n_meas": jnp.array([4], dtype=jnp.int32)}
+    mps = jnp.asarray(die.canonicalize(
+        jnp.full((1, die.n_modelparams), 1.0 / 6.0)))
+    out = m.simulate_experiment(jax.random.key(0), mps, eps)
+    assert np.asarray(out).sum() == 4
+    with pytest.raises(ValueError, match="n_meas_max"):
+        m.outcomes(eps)

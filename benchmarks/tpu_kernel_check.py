@@ -32,10 +32,21 @@ def main():
     for n, d, tag in [(4096, 2, "small"), (2**21, 1, "bench-size"),
                       (2**21, 5, "bench-d5"),
                       (500_000, 4, "tomo-padded"),
-                      (4096, 3, "qubit-d3"), (4096, 16, "process-d16")]:
+                      (4096, 3, "qubit-d3"), (4096, 16, "process-d16"),
+                      (8192, 2, "extreme-values")]:
         w = rng.pareto(0.7, n).astype(np.float32) + 1e-12
         w /= w.sum()
-        x = rng.normal(size=(n, d)).astype(np.float32)
+        if tag == "extreme-values":
+            # stress the exact bf16-split selection: full-mantissa values
+            # across the f32 exponent range incl. subnormals and zeros
+            mant = rng.integers(0, 1 << 23, size=(n, d), dtype=np.int64)
+            expo = rng.integers(0, 255, size=(n, d), dtype=np.int64)
+            sign = rng.integers(0, 2, size=(n, d), dtype=np.int64) << 31
+            bits = (sign | (expo << 23) | mant).astype(np.uint32)
+            x = bits.view(np.float32)
+            x = np.where(np.isfinite(x), x, 0.0).astype(np.float32)
+        else:
+            x = rng.normal(size=(n, d)).astype(np.float32)
         w, x = jnp.asarray(w), jnp.asarray(x)
         u = 0.37
 
@@ -43,9 +54,18 @@ def main():
                             static_argnums=2)(u, w, n)
         got = streaming_resample_locations(m, starts, x)
         got.block_until_ready()
-        want = counting_locations_from_u(u, w, x, strategy="scan")
-        want.block_until_ready()
-        same = bool(jnp.all(got == want))
+        if tag == "extreme-values":
+            # ground truth by literal span expansion: XLA's own fills
+            # flush subnormals (associative_scan under FTZ), so only the
+            # NumPy expansion is bit-faithful on these vectors
+            want = jnp.asarray(np.repeat(
+                np.asarray(x), np.asarray(m), axis=0))
+            same = bool(jnp.all(
+                got.view(jnp.int32) == want.view(jnp.int32)))
+        else:
+            want = counting_locations_from_u(u, w, x, strategy="scan")
+            want.block_until_ready()
+            same = bool(jnp.all(got == want))
         print(f"[{tag}] n={n} d={d} bit-identical: {same}", flush=True)
         if not same:
             bad = int(jnp.sum(jnp.any(got != want, axis=1)))

@@ -33,11 +33,17 @@ accumulator correct:
 * in-kernel, a ``while_loop`` walks the output tiles intersecting the
   block's span. For each tile, interval membership
   ``M[s, i] = starts_i <= g_s < stops_i`` is built on the VPU and the
-  tile's rows are produced as ``x_blk @ Mᵀ`` on the **MXU** — the
-  TPU-native way to express a sorted gather: a one-hot matmul. Each
-  output slot matches exactly one particle interval (empty particles
-  have empty intervals), so the matmul reproduces ``x[ancestor]``
-  bit-exactly (every product is ``1·x`` or ``0``).
+  tile's rows are produced by a **one-hot matmul on the MXU** — the
+  TPU-native way to express a sorted gather. The matmul runs in
+  **int8 arithmetic** on the bitcast coordinates (each f32 dim split
+  into 4 bias-128 bytes, plus an ownership-count row that undoes the
+  bias), so the selection is bit-exact for EVERY f32 pattern —
+  subnormals, ±0, NaN, the full exponent range — at one MXU pass
+  (f32 ``Precision.HIGHEST`` needs 3-6 passes, and a 3-way bf16 split
+  of the float operand is inexact below ~2⁻¹⁰⁹ and at the top of the
+  f32 range). Each output slot matches exactly one particle interval
+  (empty particles have empty intervals), so the reassembled words
+  reproduce ``x[ancestor]`` exactly.
 * tiles accumulate into a ``(F, d, B)`` VMEM buffer (a boundary tile
   straddling two input blocks receives both contributions — the
   sequential carry); every ``F`` completed tiles are flushed to HBM with
@@ -75,64 +81,92 @@ _B = 128
 _F = 16
 
 
+
 def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _make_kernel(block, flush, n_out):
+def _make_kernel(block, flush, group, d):
     def kernel(bounds_ref, s_ref, e_ref, x_ref, out_ref, acc, sem):
         k = pl.program_id(0)
-        span_start = bounds_ref[k]
-        span_end = bounds_ref[k + 1]
 
         @pl.when(k == 0)
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        starts = s_ref[:]           # (1, B) int32
-        stops = e_ref[:]            # (1, B) int32
-        xw = x_ref[:]               # (d, B) f32
+        # `group` input blocks per grid step: the sequential-grid overhead
+        # (block loads, loop setup) amortizes over group·B particles —
+        # at group=1 the ~16k grid steps of a 2²¹ fill dominated the
+        # kernel (measured 7.7 ms vs a sub-ms roofline). The unrolled
+        # sub-block walk preserves the left-to-right emission order the
+        # carried accumulator relies on.
+        for sub in range(group):
+            blk = k * group + sub
+            span_start = bounds_ref[blk]
+            span_end = bounds_ref[blk + 1]
+            lo = sub * block
+            starts = s_ref[:, lo:lo + block]     # (1, B) int32
+            stops = e_ref[:, lo:lo + block]      # (1, B) int32
+            xw = x_ref[:, lo:lo + block]         # (d, B) f32
+            # The one-hot selection runs on the MXU in INTEGER arithmetic
+            # so it is bit-exact for EVERY f32 pattern (subnormals, ±0,
+            # the top of the exponent range — a 3-way bf16 split of the
+            # f32 operand is NOT exact there, and f32 HIGHEST costs 3-6
+            # MXU passes). Bitcast the coordinates to i32, split each
+            # dim into 4 bytes biased to i8 range, and append a row of
+            # ones: one (4d+1, B) x (B, B) i8 matmul then yields, per
+            # output slot, its unique ancestor's biased bytes plus a
+            # 0/1 ownership count used to undo the bias (boundary tiles
+            # are visited by two blocks; the count keeps the bias from
+            # being applied by the non-owning block). Hoisted out of the
+            # tile loop.
+            xb = jax.lax.bitcast_convert_type(xw, jnp.int32)  # (d, B)
+            rows = [((xb >> (8 * b)) & 0xFF) - 128 for b in range(4)]
+            packed = jnp.concatenate(
+                rows + [jnp.ones_like(xb[:1])]).astype(jnp.int8)
 
-        def cond(carry):
-            _, go = carry
-            return go
+            def cond(carry):
+                _, go = carry
+                return go
 
-        def body(carry):
-            t, _ = carry
-            # one-hot interval membership for output tile t (slots
-            # [tB, (t+1)B)) against this block's particle spans
-            g = (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-                 + t * block)
-            mem = ((starts <= g) & (g < stops)).astype(jnp.float32)
-            # HIGHEST: the MXU truncates f32 operands to bf16 by default
-            # (measured on v5e: output = ancestors' coords rounded to 8
-            # mantissa bits). The 3-pass bf16 split is exact here — each
-            # product is (hi|mid|lo)·1.0 or ·0.0 accumulated in f32, so
-            # the one-hot selection is bit-identical to x[ancestor].
-            y = jax.lax.dot_general(
-                xw, mem, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # (d, B)
-            f = t % flush
-            acc[f] = acc[f] + y
+            def body(carry, starts=starts, stops=stops, packed=packed,
+                     span_end=span_end):
+                t, _ = carry
+                # one-hot interval membership for output tile t (slots
+                # [tB, (t+1)B)) against this block's particle spans
+                g = (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+                     + t * block)
+                mem = ((starts <= g) & (g < stops)).astype(jnp.int8)
+                sel = jax.lax.dot_general(
+                    packed, mem, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # (4d+1, B)
+                cnt = sel[4 * d:]                      # (1, B) 0/1
+                # reassemble the i32 words from the un-biased bytes; the
+                # top byte's shift relies on JAX's wrapping i32 semantics
+                y = jnp.concatenate([
+                    sum((sel[b * d + j:b * d + j + 1] + (cnt << 7))
+                        << (8 * b) for b in range(4))
+                    for j in range(d)])                # (d, B) i32
+                f = t % flush
+                acc[f] = acc[f] + y
 
-            complete = (t + 1) * block <= span_end
+                complete = (t + 1) * block <= span_end
 
-            @pl.when(complete & (f == flush - 1))
-            def _():
-                # the whole chunk t//flush is complete (spans are emitted
-                # left-to-right): one aligned DMA, then recycle
-                dma = pltpu.make_async_copy(
-                    acc, out_ref.at[t // flush], sem)
-                dma.start()
-                dma.wait()
-                acc[...] = jnp.zeros_like(acc)
+                @pl.when(complete & (f == flush - 1))
+                def _():
+                    # the whole chunk t//flush is complete (spans are
+                    # emitted left-to-right): one aligned DMA, recycle
+                    dma = pltpu.make_async_copy(
+                        acc, out_ref.at[t // flush], sem)
+                    dma.start()
+                    dma.wait()
+                    acc[...] = jnp.zeros_like(acc)
 
-            go = complete & ((t + 1) * block < span_end)
-            return (t + 1, go)
+                go = complete & ((t + 1) * block < span_end)
+                return (t + 1, go)
 
-        t0 = span_start // block
-        jax.lax.while_loop(cond, body, (t0, span_start < span_end))
+            t0 = span_start // block
+            jax.lax.while_loop(cond, body, (t0, span_start < span_end))
 
     return kernel
 
@@ -184,8 +218,12 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
             [locations.astype(jnp.float32),
              jnp.zeros((pad, d), jnp.float32)])
         n = n_pad
-    n_blocks = n // block
     n_chunks = n // chunk
+    # input blocks per grid step (amortizes sequential-grid overhead);
+    # group == flush means each step consumes exactly one chunk of input,
+    # so the padded n is automatically a whole number of grid steps
+    group = flush
+    span = block * group
 
     stops = starts + m
     # each block's output span start; final bound closes the last span
@@ -202,26 +240,27 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_blocks,),
+        grid=(n // span,),
         in_specs=[
-            pl.BlockSpec((1, block), lambda k, b: (0, k),
+            pl.BlockSpec((1, span), lambda k, b: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda k, b: (0, k),
+            pl.BlockSpec((1, span), lambda k, b: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, block), lambda k, b: (0, k),
+            pl.BlockSpec((d, span), lambda k, b: (0, k),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((flush, d, block), jnp.float32),
+            pltpu.VMEM((flush, d, block), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(block, flush, n),
+        _make_kernel(block, flush, group, d),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, flush, d, block), jnp.float32),
+            (n_chunks, flush, d, block), jnp.int32),
         interpret=_interpret(),
     )(bounds, s2d, e2d, x2d)
+    out = jax.lax.bitcast_convert_type(out, jnp.float32)
     return jnp.transpose(out, (2, 0, 1, 3)).reshape(d, n).T[:n_out, :d_out]

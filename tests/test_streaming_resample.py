@@ -152,3 +152,25 @@ def test_nonconforming_n_point_mass_tail():
     rng = np.random.default_rng(9)
     x = rng.normal(size=(n, 2)).astype(np.float32)
     _run(jnp.asarray(w), x, 0.5)
+
+
+def test_every_f32_bit_pattern_exact():
+    """The int8 one-hot selection must reproduce EVERY f32 bit pattern —
+    subnormals, +-0, NaN payloads, the full exponent range. Ground truth
+    is the literal NumPy span expansion (np.repeat): the XLA fills
+    themselves flush subnormals (associative_scan under FTZ), so they
+    cannot serve as the reference on these vectors."""
+    rng = np.random.default_rng(11)
+    n, d = 8192, 2
+    w = rng.pareto(0.7, n).astype(np.float32) + 1e-12
+    w /= w.sum()
+    mant = rng.integers(0, 1 << 23, size=(n, d), dtype=np.int64)
+    expo = rng.integers(0, 256, size=(n, d), dtype=np.int64)
+    sign = rng.integers(0, 2, size=(n, d), dtype=np.int64) << 31
+    x = (sign | (expo << 23) | mant).astype(np.uint32).view(np.float32)
+    m, s = jax.jit(counting_multiplicities_from_u, static_argnums=2)(
+        0.37, jnp.asarray(w), n)
+    got = streaming_resample_locations(m, s, jnp.asarray(x))
+    want = np.repeat(x, np.asarray(m), axis=0)
+    np.testing.assert_array_equal(
+        np.asarray(got).view(np.uint32), want.view(np.uint32))

@@ -185,20 +185,28 @@ def _reweight(model, weights, locations, outcome, eps, k_like):
     if _has_log_likelihood(model):
         log_ell = _single_log_likelihood(
             model, locations, outcome, eps, k_like)
-        M = jnp.max(log_ell)
-        # all-impossible outcome: M = -inf; shift by 0 so exp(-inf) = 0 and
-        # the zero-weight policy triggers instead of producing NaNs
+        # Shift by the max of the POSTERIOR log-summand log w + logL, not
+        # max logL alone: if the best-fitting particle carries negligible
+        # weight, every w·exp(logL − max logL) can underflow even at
+        # healthy ESS (observed: BinomialModel at 50 shots with
+        # resample_interval=5 — the weights span ~40 f32 decades between
+        # resamples). With this shift the largest summand is exactly 1,
+        # so the shifted norm lives in [1, n] and cannot underflow, and
+        # M = −inf means precisely "the outcome is impossible for every
+        # particle that carries weight" — the zero-weight event.
+        log_post = jnp.log(jnp.maximum(weights, 0.0)) + log_ell
+        M = jnp.max(log_post)
         safe_M = jnp.where(jnp.isfinite(M), M, 0.0)
-        hyp = weights * jnp.exp(log_ell - safe_M)
+        hyp = jnp.exp(log_post - safe_M)
         shifted_norm = jnp.sum(hyp)
         log_norm = jnp.log(jnp.maximum(shifted_norm, EPS)) + safe_M
-        # Zero-weight semantics under log-space: the shifted norm never
-        # underflows, so "outcome inconsistent with every particle" is
-        # detected on the BEST particle's log-likelihood instead — report
-        # an effectively-zero norm so the caller's threshold comparison
-        # fires exactly when the linear engine's would have.
-        effective_norm = jnp.where(
-            M < jnp.log(jnp.asarray(1e-30)), 0.0, shifted_norm)
+        # Zero-weight detection: M = -inf iff the outcome is EXACTLY
+        # impossible (logL = -inf, e.g. log_binomial_pdf endpoint cases)
+        # for every particle carrying weight — reference parity with the
+        # f64 linear engine's exact-zero underflow. Merely-terrible fits
+        # (finite logL however negative) survive, which is the point of
+        # the log-space path.
+        effective_norm = jnp.where(jnp.isfinite(M), shifted_norm, 0.0)
         return hyp, effective_norm, log_norm
     ell = _single_likelihood(model, locations, outcome, eps, k_like)
     norm = jnp.sum(weights * ell)

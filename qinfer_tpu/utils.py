@@ -50,15 +50,23 @@ __all__ = [
 def log_binomial_pdf(N, n, p):
     """log Pr(n | N, p) for a binomial distribution, numerically stable.
 
-    All arguments broadcast. ``p`` is clipped away from {0, 1} so gradients
-    and log-likelihoods stay finite; exact-endpoint cases are handled by the
-    clip epsilon being far below any realistic particle weight resolution.
+    All arguments broadcast. Interior ``p`` is clipped away from {0, 1} so
+    gradients stay finite, but EXACTLY impossible outcomes (successes with
+    p = 0, failures with p = 1) return ``-inf`` — reference parity with
+    the f64 linear pmf, whose exact zero is what trips the engine's
+    zero-weight policy (``smc.py::SMCUpdater.update`` zero_weight_policy;
+    the log-space engine detects impossibility as a non-finite weighted
+    max, not via an arbitrary nat threshold that would misclassify
+    legitimately-terrible fits).
     """
     N = jnp.asarray(N)
     n = jnp.asarray(n)
-    p = jnp.clip(jnp.asarray(p), EPS, 1.0 - 1e-7)
+    p = jnp.asarray(p)
+    pc = jnp.clip(p, EPS, 1.0 - 1e-7)
     log_comb = gammaln(N + 1.0) - gammaln(n + 1.0) - gammaln(N - n + 1.0)
-    return log_comb + n * jnp.log(p) + (N - n) * jnp.log1p(-p)
+    logp = log_comb + n * jnp.log(pc) + (N - n) * jnp.log1p(-pc)
+    impossible = ((p <= 0.0) & (n > 0)) | ((p >= 1.0) & (n < N))
+    return jnp.where(impossible, -jnp.inf, logp)
 
 
 def binomial_pdf(N, n, p):

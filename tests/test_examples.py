@@ -40,3 +40,14 @@ def test_process_tomography_example():
     mod = load_example("process_tomography.py")
     u = mod.main(n_particles=3000, n_experiments=150)
     assert u.n_particles == 3000
+
+
+def test_model_selection_example():
+    """The damped (true) model must win the evidence comparison
+    decisively; this also regression-tests the weighted max-shift in the
+    log-space reweight (the pure model's weights span ~40 f32 decades
+    between interval resamples and previously hit a spurious
+    ZeroWeightError)."""
+    mod = load_example("model_selection.py")
+    log_bf = mod.main(n_particles=2000, n_times=30)
+    assert log_bf > 10.0

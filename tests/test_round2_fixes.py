@@ -330,3 +330,28 @@ def test_multinomial_huge_grid_fails_fast():
     assert np.asarray(out).sum() == 4
     with pytest.raises(ValueError, match="n_meas_max"):
         m.outcomes(eps)
+
+
+def test_log_reweight_shift_includes_weights():
+    """The log-space reweight must shift by max(log w + logL), not
+    max(logL): when the best-FITTING particle carries negligible weight,
+    the old shift underflowed every summand and raised a spurious
+    ZeroWeightError at healthy ESS (probe: BinomialModel, 50 shots,
+    resample_interval=5)."""
+    model = q.BinomialModel(q.SimplePrecessionModel(), n_meas_max=50)
+    w = jnp.concatenate([jnp.full((999,), 1e-3 / 999),
+                         jnp.array([1.0 - 1e-3])])
+    # the heavy particle fits the outcome poorly, light particles span
+    # the space; previously only near-max-logL particles survived the
+    # shift and the heavy particle's summand underflowed
+    locs = jnp.linspace(0.0, 1.0, 1000)[:, None]
+    eps = {"t": jnp.array([25.0], jnp.float32),
+           "n_meas": jnp.array([50], jnp.int32)}
+    from qinfer_tpu.smc import _reweight
+
+    hyp, norm, log_norm = _reweight(model, w, locs, jnp.asarray(25), eps,
+                                    None)
+    assert float(norm) > 0.0
+    assert np.isfinite(float(log_norm))
+    post = np.asarray(hyp / norm)
+    assert np.isfinite(post).all() and abs(post.sum() - 1.0) < 1e-5

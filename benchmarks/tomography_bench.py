@@ -22,6 +22,10 @@ def main():
     parser.add_argument("--particles", type=int, default=500_000)
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--process", action="store_true",
+                        help="dim-4 Choi-state process tomography (the "
+                        "general-dim path: Cholesky validity + embedded-"
+                        "eigh PSD projection; d=16 params)")
     args = parser.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -41,36 +45,76 @@ def main():
     from qinfer_tpu.smc import SMCState, _update_step_impl
     from qinfer_tpu.resamplers import LiuWestResampler
 
-    basis = tomo.pauli_basis(1)
-    model = tomo.TomographyModel(basis)
-    prior = tomo.GinibreDistribution(basis)
     resampler = LiuWestResampler(a=0.98, maxiter=4)
-
-    true_rho = np.array([[0.85, 0.3], [0.3, 0.15]], dtype=np.complex64)
-    true_mps = jnp.asarray(np.asarray(
-        model.states_to_modelparams(true_rho[None])))
-
     n = args.particles
+
+    if args.process:
+        from qinfer_tpu.tomography.models import ProcessTomographyModel
+
+        b1 = tomo.pauli_basis(1)
+        b2 = tomo.pauli_basis(2)
+        model = ProcessTomographyModel(b2, b1)
+        prior = tomo.BCSZChoiDistribution(b2)
+
+        # true channel: depolarizing at rate 0.25 (host-side complex)
+        p_dep = 0.25
+        J_id = np.zeros((4, 4), dtype=np.complex64)
+        for mm in range(2):
+            for nn in range(2):
+                E = np.zeros((2, 2), dtype=np.complex64)
+                E[mm, nn] = 1
+                J_id += np.kron(E, E)
+        true_rho = ((1 - p_dep) * J_id
+                    + p_dep * np.kron(np.eye(2), np.eye(2) / 2)) / 2
+        true_mps = jnp.asarray(np.asarray(
+            model.states_to_modelparams(true_rho[None])))
+
+        # tetrahedral-ish fiducials as real coords (device-safe)
+        kets = np.asarray(
+            [[1, 0], [0, 1],
+             [1 / np.sqrt(2), 1 / np.sqrt(2)],
+             [1 / np.sqrt(2), 1j / np.sqrt(2)]], dtype=np.complex64)
+        fid = jnp.asarray(np.stack([
+            np.asarray(b1.state_to_modelparams(np.outer(k, k.conj())))
+            for k in kets]), dtype=jnp.float32)  # (4, 4)
+
+        def propose(key, weights, locations, idx):
+            k1, k2 = jax.random.split(key)
+            return {"prep": fid[jax.random.randint(k1, (), 0, 4)][None],
+                    "meas": fid[jax.random.randint(k2, (), 0, 4)][None]}
+    else:
+        basis = tomo.pauli_basis(1)
+        model = tomo.TomographyModel(basis)
+        prior = tomo.GinibreDistribution(basis)
+
+        true_rho = np.array([[0.85, 0.3], [0.3, 0.15]],
+                            dtype=np.complex64)
+        true_mps = jnp.asarray(np.asarray(
+            model.states_to_modelparams(true_rho[None])))
+
+        # random-Pauli proposal, inlined jittably (coords precomputed
+        # host-side)
+        u_stub = type("U", (), {})()
+        u_stub.model = model
+        heur = tomo.RandomPauliHeuristic.__new__(tomo.RandomPauliHeuristic)
+        heur._updater = u_stub
+        heur.other_fields = {}
+        d = basis.dim
+        eye_coords = np.zeros(basis.n_ops)
+        eye_coords[0] = np.sqrt(d)
+        heur.proj_coords = jnp.asarray(
+            0.5 * (eye_coords[None, :]
+                   + np.sqrt(d) * np.eye(basis.n_ops))[1:],
+            dtype=jnp.float32)
+        propose = heur.propose
+
     k_prior, k_run = jax.random.split(jax.random.key(0))
     state = SMCState.initial(prior.sample(k_prior, n), k_run)
-
-    # random-Pauli proposal, inlined jittably (coords precomputed host-side)
-    u_stub = type("U", (), {})()
-    u_stub.model = model
-    heur = tomo.RandomPauliHeuristic.__new__(tomo.RandomPauliHeuristic)
-    heur._updater = u_stub
-    heur.other_fields = {}
-    d = basis.dim
-    eye_coords = np.zeros(basis.n_ops)
-    eye_coords[0] = np.sqrt(d)
-    heur.proj_coords = jnp.asarray(
-        0.5 * (eye_coords[None, :] + np.sqrt(d) * np.eye(basis.n_ops))[1:],
-        dtype=jnp.float32)
 
     def step(carry, idx):
         st, key = carry
         key, k_h, k_sim = jax.random.split(key, 3)
-        eps = heur.propose(k_h, st.weights, st.locations, idx)
+        eps = propose(k_h, st.weights, st.locations, idx)
         outcome = model.simulate_experiment(k_sim, true_mps, eps)
         outcome = jnp.asarray(outcome).reshape(-1)[:1]
         new_st, _, _ = _update_step_impl(
@@ -104,7 +148,9 @@ def main():
     ups = n * args.steps / dt
 
     print(json.dumps({
-        "metric": "tomography_particle_updates_per_s",
+        "metric": ("process_tomography_particle_updates_per_s"
+                   if args.process else
+                   "tomography_particle_updates_per_s"),
         "n_particles": n,
         "n_steps": args.steps,
         "value": round(ups, 1),

@@ -81,6 +81,34 @@ def hermitian_eigvalsh(rho):
     return ev[..., ::2]
 
 
+def batched_cholesky_small(a):
+    """Cholesky factor of a batch of small symmetric matrices (..., d, d),
+    d static and small (tomography embeddings: d ≤ ~32), via a fully
+    UNROLLED Cholesky–Banachiewicz recursion — every step is an
+    elementwise op over the batch axis, so XLA fuses the whole factor
+    into a handful of VPU passes. ``jnp.linalg.cholesky`` lowers batched
+    tiny matrices to a masked sequential column loop that costs ~100 ms
+    per call at 10⁵ × 8×8 on TPU v5e — three orders of magnitude off the
+    arithmetic. Non-PD inputs produce NaN entries, same detection
+    contract as ``jnp.linalg.cholesky``.
+    """
+    d = a.shape[-1]
+    L = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)       # NaN for non-PD pivots
+            else:
+                L[i][j] = s / L[j][j]
+    zero = jnp.zeros_like(a[..., 0, 0])
+    return jnp.stack(
+        [jnp.stack([L[i][j] if j <= i else zero for j in range(d)], -1)
+         for i in range(d)], -2)
+
+
 def hermitian_eigh_embedded(rho, transform):
     """Apply an elementwise spectral ``transform`` (e.g. clipping) to a
     batch of complex Hermitian matrices, entirely in the real embedding:

@@ -119,11 +119,16 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
             s2 = 2.0 * jnp.sum(modelparams * modelparams, axis=-1)
             return s2 <= (1.0 + 2.0 * self.psd_tol) ** 2
         # General d: positivity via batched Cholesky of E(ρ) + tol·I —
-        # O(d³/3) and TPU-friendly vs an iterative QDWH eigh. cholesky
-        # fills NaN rows on non-PD input, which is exactly the test.
+        # O(d³/3) and TPU-friendly vs an iterative QDWH eigh; the
+        # unrolled small-matrix factor keeps the whole check elementwise
+        # over the particle batch (jnp.linalg.cholesky's masked column
+        # loop cost ~100 ms per call at 10⁵ particles). NaN on non-PD
+        # input is exactly the test.
+        from .bases import batched_cholesky_small
+
         m = self._embedded_states(modelparams)
         eye = jnp.eye(m.shape[-1], dtype=m.dtype)
-        L = jnp.linalg.cholesky(m + self.psd_tol * eye)
+        L = batched_cholesky_small(m + self.psd_tol * eye)
         return ~jnp.any(jnp.isnan(L), axis=(-2, -1))
 
     def canonicalize(self, modelparams):
@@ -144,15 +149,27 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
             scale = jnp.minimum(
                 1.0, 1.0 / (jnp.sqrt(2.0) * jnp.maximum(r, EPS)))
             return modelparams * scale
-        m = self._embedded_states(modelparams)
-        ev, V = jnp.linalg.eigh(m)  # real symmetric eigh — TPU-safe
-        ev = jnp.clip(ev, 0.0, None)
-        # the embedded trace is 2·Tr(rho); normalize to embedded trace 2
-        tr = jnp.sum(ev, axis=-1, keepdims=True)
-        ev = 2.0 * ev / jnp.clip(tr, EPS, None)
-        m2 = jnp.einsum("nab,nb,ncb->nac", V, ev, V)
-        coords = self.basis.embedded_to_coords(m2)
-        return coords[..., 1:].astype(modelparams.dtype)
+        # PSD projection of an already-PSD state is the identity (the
+        # proposal trace is exact by construction — the trace coordinate
+        # is not a model parameter), and after the resampler's bounded
+        # validity redraw the common case is ALL particles valid — so the
+        # batched embedded eigh (the hot cost of general-dim tomography
+        # resampling) is gated behind one cheap Cholesky validity pass
+        # and skipped entirely on the all-valid path.
+        def project(mp):
+            m = self._embedded_states(mp)
+            ev, V = jnp.linalg.eigh(m)  # real symmetric eigh — TPU-safe
+            ev = jnp.clip(ev, 0.0, None)
+            # embedded trace is 2·Tr(rho); normalize to embedded trace 2
+            tr = jnp.sum(ev, axis=-1, keepdims=True)
+            ev = 2.0 * ev / jnp.clip(tr, EPS, None)
+            m2 = jnp.einsum("nab,nb,ncb->nac", V, ev, V)
+            coords = self.basis.embedded_to_coords(m2)
+            return coords[..., 1:].astype(mp.dtype)
+
+        return jax.lax.cond(
+            jnp.all(self.are_models_valid(modelparams)),
+            lambda mp: mp, project, modelparams)
 
     def likelihood(self, outcomes, modelparams, expparams):
         """Born rule: Pr(0 | ρ; E) = Tr(Eρ) = e·x (coordinate dot product,

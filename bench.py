@@ -43,13 +43,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 
 
-N_PARTICLES = 1 << 21      # 2,097,152 particles
+N_PARTICLES = 1 << 22      # 4,194,304 particles (measured sweet spot:
+                           # 2^21 = 9.46e8, 2^22 = 1.02e9, 2^23 = 9.95e8
+                           # updates/s — larger ensembles amortize the
+                           # per-step fixed costs until HBM pressure)
 N_STEPS = 256              # adaptive experiments per run
 N_REPEATS = 3              # timed repetitions (best taken)
 BASELINE = 1e7             # driver north star: particle-updates/s/chip
 
 
-def build_run(engine="fused"):
+def build_run(engine="fused", n_particles=N_PARTICLES):
     import qinfer_tpu as q
     from qinfer_tpu.smc import SMCState, _update_step_impl
     from qinfer_tpu.resamplers import LiuWestResampler
@@ -99,7 +102,7 @@ def build_run(engine="fused"):
     def make_state(seed):
         key = jax.random.key(seed)
         k_prior, k_run = jax.random.split(key)
-        locations = prior.sample(k_prior, N_PARTICLES)
+        locations = prior.sample(k_prior, n_particles)
         return SMCState.initial(locations, k_run), jax.random.key(seed + 1)
 
     return run, make_state
@@ -109,9 +112,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--engine", choices=["fused", "xla"],
                         default="fused")
+    parser.add_argument("--particles", type=int, default=N_PARTICLES)
     args = parser.parse_args()
 
-    run, make_state = build_run(args.engine)
+    run, make_state = build_run(args.engine, args.particles)
 
     # Warmup / compile
     state, key = make_state(0)
@@ -129,7 +133,7 @@ def main():
         best = min(best, dt)
 
     n_chips = max(1, jax.device_count())
-    updates_per_sec_per_chip = (N_PARTICLES * N_STEPS) / best / n_chips
+    updates_per_sec_per_chip = (args.particles * N_STEPS) / best / n_chips
 
     # sanity: the run must actually have inferred something
     est = float(final.weights @ final.locations[:, 0])

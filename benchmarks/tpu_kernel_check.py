@@ -37,14 +37,14 @@ def main():
         w = rng.pareto(0.7, n).astype(np.float32) + 1e-12
         w /= w.sum()
         if tag == "extreme-values":
-            # stress the exact bf16-split selection: full-mantissa values
-            # across the f32 exponent range incl. subnormals and zeros
+            # stress the exact int8 one-hot selection: full-mantissa
+            # values across the ENTIRE f32 bit space — subnormals, ±0,
+            # ±inf and NaN payloads (exponent 255 included)
             mant = rng.integers(0, 1 << 23, size=(n, d), dtype=np.int64)
-            expo = rng.integers(0, 255, size=(n, d), dtype=np.int64)
+            expo = rng.integers(0, 256, size=(n, d), dtype=np.int64)
             sign = rng.integers(0, 2, size=(n, d), dtype=np.int64) << 31
             bits = (sign | (expo << 23) | mant).astype(np.uint32)
             x = bits.view(np.float32)
-            x = np.where(np.isfinite(x), x, 0.0).astype(np.float32)
         else:
             x = rng.normal(size=(n, d)).astype(np.float32)
         w, x = jnp.asarray(w), jnp.asarray(x)
@@ -65,14 +65,16 @@ def main():
         else:
             want = counting_locations_from_u(u, w, x, strategy="scan")
             want.block_until_ready()
-            same = bool(jnp.all(got == want))
+            same = bool(jnp.all(
+                got.view(jnp.int32) == want.view(jnp.int32)))
         print(f"[{tag}] n={n} d={d} bit-identical: {same}", flush=True)
         if not same:
-            bad = int(jnp.sum(jnp.any(got != want, axis=1)))
-            print(f"  mismatched rows: {bad}/{n}")
-            idx = np.asarray(jnp.nonzero(
-                jnp.any(got != want, axis=1), size=10, fill_value=-1)[0])
-            print("  first idx:", idx)
+            # diagnose on raw bits (float != is wrong for NaN / ±0)
+            gb = np.asarray(got).view(np.uint32)
+            wb = np.asarray(want).view(np.uint32)
+            rows = np.any(gb != wb, axis=1)
+            print(f"  mismatched rows: {int(rows.sum())}/{n}")
+            print("  first idx:", np.nonzero(rows)[0][:10])
             return
 
     # timing at bench size: K resamples inside one compiled scan

@@ -55,10 +55,13 @@ all other blocks no-op. Total tile-iterations are ``≤ 2·n/B`` regardless
 of the weight distribution (each tile is visited once per input block
 overlapping it, and spans are contiguous).
 
-Cost: ~2·n·B VPU comparisons + (d, B)·(B, B) MXU matmuls + ~4 regular
-passes over HBM — ~1-2 ms at 2²¹ instead of the 20-30 ms scatter. Output
-is BIT-IDENTICAL to ``qinfer_tpu.resamplers.counting_locations_from_u``
-(same counting prelude, same resampling law, same values).
+Cost: ~2·n·B VPU comparisons + one int8 MXU matmul per tile + ~4 regular
+passes over HBM — 5.8 ms at 2²¹ instead of the 20-30 ms scatter. Output
+is BIT-IDENTICAL to the literal span expansion ``np.repeat(x, m)`` for
+every f32 pattern, and to ``counting_locations_from_u`` on normal/zero
+inputs (the XLA fills themselves flush subnormals under FTZ, so on
+subnormal coordinates this kernel is MORE bit-faithful than the XLA
+path it replaces).
 """
 
 from __future__ import annotations
@@ -180,8 +183,10 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
     :param starts: (n,) int32 first output slot per particle (the
         exclusive cumsum of ``m`` — free from the same counting pass).
     :param locations: (n, d) f32 particle coordinates.
-    :return: (n, d) resampled locations, bit-identical to
-        ``counting_locations_from_u`` with the same ``(m, starts)``.
+    :return: (n, d) resampled locations, bit-identical to the span
+        expansion ``np.repeat(locations, m, axis=0)`` with the same
+        ``(m, starts)`` (and to ``counting_locations_from_u`` away from
+        subnormals, which XLA's fills flush).
     """
     n, d = locations.shape
     chunk = block * flush

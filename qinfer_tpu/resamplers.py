@@ -489,6 +489,16 @@ class LiuWestResampler(Resampler):
             n_fallback = jnp.sum(~valid).astype(jnp.int32)
             new_x = jnp.where(valid[:, None], new_x, x_anc)
 
-        new_x = model.canonicalize(new_x)
+        if not (getattr(model, "canonicalize_is_validity_projection", False)
+                and self.postselect and self.maxiter > 0):
+            # Models that declare canonicalize to be a pure
+            # validity projection (identity on valid states, e.g.
+            # TomographyModel's PSD projection) skip it here: the
+            # redraw loop + ancestor fallback above already guarantees
+            # every slot valid, so the projection would re-derive a
+            # predicate this function just computed. Models whose
+            # canonicalize does more (simplex/trace renormalization)
+            # keep the call.
+            new_x = model.canonicalize(new_x)
         new_w = jnp.full((n,), 1.0 / n, dtype=w.dtype)
         return new_w, new_x, n_fallback

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..abstract_model import DifferentiableModel, FiniteOutcomeModel, \
     n_expparams
 from ..config import EPS
-from .bases import embed_hermitian_host
+from .bases import batched_cholesky_small, embed_hermitian_host
 
 __all__ = ["TomographyModel", "DiffusiveTomographyModel",
            "ProcessTomographyModel"]
@@ -124,17 +124,24 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
         # over the particle batch (jnp.linalg.cholesky's masked column
         # loop cost ~100 ms per call at 10⁵ particles). NaN on non-PD
         # input is exactly the test.
-        from .bases import batched_cholesky_small
-
         m = self._embedded_states(modelparams)
         eye = jnp.eye(m.shape[-1], dtype=m.dtype)
         L = batched_cholesky_small(m + self.psd_tol * eye)
         return ~jnp.any(jnp.isnan(L), axis=(-2, -1))
 
+    #: canonicalize is a pure PSD projection — identity on valid states
+    #: (the trace coordinate is not a model parameter, so proposals keep
+    #: trace exactly); the resampler's validity loop may therefore skip
+    #: the post-resample canonicalize call.
+    canonicalize_is_validity_projection = True
+
     def canonicalize(self, modelparams):
         """Project onto the PSD cone: clip negative eigenvalues and
         renormalize the trace (the reference's canonicalization for
-        tomography; SURVEY.md §7 hard part 2).
+        tomography; SURVEY.md §7 hard part 2). States already PSD to
+        within 10⁻⁶ (strictly tighter than ``psd_tol``, and below the
+        ~10⁻³ noise floor of the f32 embedded eigh that the projection
+        itself carries) are returned unchanged.
 
         For qubits this is the Bloch-ball radial projection, computed in
         coordinate space with no eigendecomposition: clipping the negative
@@ -151,11 +158,18 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
             return modelparams * scale
         # PSD projection of an already-PSD state is the identity (the
         # proposal trace is exact by construction — the trace coordinate
-        # is not a model parameter), and after the resampler's bounded
-        # validity redraw the common case is ALL particles valid — so the
-        # batched embedded eigh (the hot cost of general-dim tomography
-        # resampling) is gated behind one cheap Cholesky validity pass
-        # and skipped entirely on the all-valid path.
+        # is not a model parameter), so the batched embedded eigh (the
+        # hot cost of general-dim tomography) is gated behind one cheap
+        # unrolled-Cholesky pass and skipped when every state is PSD.
+        # The gate is STRICT (jitter 1e-6, not psd_tol): states with
+        # eigenvalues in [-psd_tol, -1e-6) count as valid for inference
+        # but still get projected here, preserving the PSD-enforcer
+        # contract to well below the projection's own f32 noise.
+        m_gate = self._embedded_states(modelparams)
+        eye_g = jnp.eye(m_gate.shape[-1], dtype=m_gate.dtype)
+        L_gate = batched_cholesky_small(m_gate + 1e-6 * eye_g)
+        strictly_psd = ~jnp.any(jnp.isnan(L_gate))
+
         def project(mp):
             m = self._embedded_states(mp)
             ev, V = jnp.linalg.eigh(m)  # real symmetric eigh — TPU-safe
@@ -167,9 +181,8 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
             coords = self.basis.embedded_to_coords(m2)
             return coords[..., 1:].astype(mp.dtype)
 
-        return jax.lax.cond(
-            jnp.all(self.are_models_valid(modelparams)),
-            lambda mp: mp, project, modelparams)
+        return jax.lax.cond(strictly_psd, lambda mp: mp, project,
+                            modelparams)
 
     def likelihood(self, outcomes, modelparams, expparams):
         """Born rule: Pr(0 | ρ; E) = Tr(Eρ) = e·x (coordinate dot product,

@@ -421,3 +421,24 @@ def test_best_of_k_preserves_all_fields():
     eps = meta(0)
     assert set(eps) >= {"meas", "t"}, set(eps)
     assert np.asarray(eps["meas"]).shape[0] == 1
+
+
+def test_general_dim_canonicalize_projects_tol_valid_states():
+    """canonicalize must stay a PSD-enforcer: a state with an eigenvalue
+    in [-psd_tol, -1e-6) passes are_models_valid (inference-valid) but a
+    DIRECT canonicalize call still projects it onto the cone (the
+    all-valid fast path is gated on a strictly tighter check)."""
+    b = tomo.gell_mann_basis(3)
+    model = tomo.TomographyModel(b, psd_tol=1e-2)
+    rho = np.diag([0.7, 0.304, -0.004]).astype(np.complex64)
+    mp = jnp.asarray(np.asarray(model.states_to_modelparams(rho[None])))
+    assert bool(model.are_models_valid(mp)[0])          # within tol
+    out = model.canonicalize(mp)
+    ev = np.asarray(tomo.bases.hermitian_eigvalsh(
+        np.asarray(model.modelparams_to_states(out))))[0]
+    assert ev.min() > -1e-5                             # projected
+    # an exactly-PSD batch takes the identity fast path bit-for-bit
+    rho2 = np.diag([0.5, 0.3, 0.2]).astype(np.complex64)
+    mp2 = jnp.asarray(np.asarray(model.states_to_modelparams(rho2[None])))
+    np.testing.assert_array_equal(np.asarray(model.canonicalize(mp2)),
+                                  np.asarray(mp2))

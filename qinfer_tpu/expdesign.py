@@ -45,6 +45,13 @@ class ExperimentDesigner:
 
     def __init__(self, updater, opt_algo=OptimizationAlgorithms.GRID):
         self.updater = updater
+        if isinstance(opt_algo, str):
+            try:
+                opt_algo = OptimizationAlgorithms[opt_algo.upper()]
+            except KeyError:
+                raise ValueError(
+                    f"unknown opt_algo {opt_algo!r}; expected one of "
+                    f"{[a.name for a in OptimizationAlgorithms]}")
         if not isinstance(opt_algo, OptimizationAlgorithms):
             raise ValueError("opt_algo must be an OptimizationAlgorithms")
         self.opt_algo = opt_algo
@@ -92,7 +99,8 @@ class ExperimentDesigner:
                                cost_scale_k=0.0, disp=False,
                                maxiter=24, maxfun=None, store_guess=False,
                                grad_h=1e-6, cost_mult=False,
-                               n_grid=64, n_zoom=3, zoom_factor=0.25):
+                               n_grid=64, n_zoom=3, zoom_factor=0.25,
+                               bounds=None):
         """Optimize one scalar field of the expparams.
 
         Reference parity: ``expdesign.py::ExperimentDesigner.
@@ -102,6 +110,14 @@ class ExperimentDesigner:
         instance to call for one. ``cost_scale_k=0`` (default) optimizes
         pure risk; any nonzero value adds ``k * experiment_cost``;
         ``cost_mult`` multiplies instead.
+
+        :param bounds: optional ``(lo, hi)`` (either side may be None)
+            restricting the search to the physically meaningful range —
+            unconstrained optimizers (and the zooming grid) can otherwise
+            wander into unphysical values, e.g. negative RB sequence
+            lengths, where a likelihood evaluates but means nothing (the
+            reference shares this hazard: its scipy optimizers are also
+            unconstrained and its uint fields silently wrap).
 
         :return: the optimized expparams dict (one experiment).
         """
@@ -117,14 +133,22 @@ class ExperimentDesigner:
                     for k, v in base_eps.items()}
 
         x0 = float(np.asarray(base_eps[field]).ravel()[0])
+        lo_b = -np.inf if bounds is None or bounds[0] is None else float(
+            bounds[0])
+        hi_b = np.inf if bounds is None or bounds[1] is None else float(
+            bounds[1])
+
+        def clamp(x):
+            return float(np.clip(x, lo_b, hi_b))
 
         if self.opt_algo is OptimizationAlgorithms.GRID:
             best_x, best_risk = self._grid_search(
-                base_eps, field, x0, cost_scale_k, cost_mult,
-                n_grid=n_grid, n_zoom=n_zoom, zoom_factor=zoom_factor)
+                base_eps, field, clamp(x0), cost_scale_k, cost_mult,
+                n_grid=n_grid, n_zoom=n_zoom, zoom_factor=zoom_factor,
+                lo_b=lo_b, hi_b=hi_b)
         else:
             objective = lambda x: float(self._risk_of(
-                base_eps, field, np.atleast_1d(x)[:1], cost_scale_k,
+                base_eps, field, np.atleast_1d(clamp(x))[:1], cost_scale_k,
                 cost_mult)[0][0])
             import scipy.optimize as opt
 
@@ -132,14 +156,16 @@ class ExperimentDesigner:
                 res = opt.fmin(objective, x0, disp=bool(disp),
                                maxiter=maxiter, maxfun=maxfun,
                                full_output=True)
-                best_x, best_risk = float(np.atleast_1d(res[0])[0]), float(res[1])
+                best_x, best_risk = clamp(
+                    np.atleast_1d(res[0])[0]), float(res[1])
             else:  # CG
                 grad = FiniteDifference(objective, 1, h=grad_h)
                 res = opt.fmin_cg(objective, np.atleast_1d(x0),
                                   fprime=lambda x: grad(x),
                                   disp=bool(disp), maxiter=maxiter,
                                   full_output=True)
-                best_x, best_risk = float(np.atleast_1d(res[0])[0]), float(res[1])
+                best_x, best_risk = clamp(
+                    np.atleast_1d(res[0])[0]), float(res[1])
 
         if store_guess:
             if best_risk < self._best_risk or self._best_guess is None:
@@ -161,13 +187,16 @@ class ExperimentDesigner:
         return out
 
     def _grid_search(self, base_eps, field, x0, cost_scale_k, cost_mult,
-                     n_grid, n_zoom, zoom_factor):
+                     n_grid, n_zoom, zoom_factor,
+                     lo_b=-np.inf, hi_b=np.inf):
         """Batched zooming grid search — each round is ONE vectorized
-        bayes_risk evaluation of ``n_grid`` candidates."""
+        bayes_risk evaluation of ``n_grid`` candidates. Every zoom window
+        is clipped to the caller's ``bounds``."""
         lo = x0 / 10.0 if x0 > 0 else x0 - 1.0
         hi = x0 * 10.0 if x0 > 0 else x0 + 1.0
         best_x, best_risk = x0, np.inf
         for _ in range(max(1, int(n_zoom))):
+            lo, hi = max(lo, lo_b), min(hi, hi_b)
             grid = np.linspace(lo, hi, n_grid)
             risks, _ = self._risk_of(
                 base_eps, field, grid, cost_scale_k, cost_mult)

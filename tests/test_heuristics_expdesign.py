@@ -239,3 +239,21 @@ def test_pgh_survives_pytree_roundtrip(key):
     eps = h2.propose(key, u.particle_weights, u.particle_locations,
                      jnp.asarray(0))
     assert np.isfinite(float(np.asarray(eps["t"])[0]))
+
+
+def test_designer_bounds_and_string_algo():
+    """`bounds=` keeps every algorithm inside the physical range (the
+    zooming grid previously wandered to a negative RB sequence length),
+    and string opt_algo names resolve to the enum."""
+    model = q.BinomialModel(q.RandomizedBenchmarkingModel(), n_meas_max=32)
+    prior = q.UniformDistribution([[0.6, 0.99], [0.2, 0.4], [0.4, 0.5]])
+    u = q.SMCUpdater(model, 1000, prior, seed=0)
+    guess = {"m": jnp.array([10.0]), "n_meas": jnp.array([32])}
+    for algo in ("GRID", "NM", "CG"):
+        des = q.ExperimentDesigner(u, opt_algo=algo)
+        best = des.design_expparams_field(guess, "m", maxiter=3,
+                                          bounds=(1.0, 200.0))
+        m = float(np.asarray(best["m"])[0])
+        assert 1.0 <= m <= 200.0, f"{algo}: m={m}"
+    with pytest.raises(ValueError):
+        q.ExperimentDesigner(u, opt_algo="bogus")

@@ -557,6 +557,16 @@ class ParticleDistribution(Distribution):
     def __init__(self, particle_locations, particle_weights=None):
         particle_locations = jnp.atleast_2d(
             jnp.asarray(particle_locations, dtype=jnp.float32))
+        if particle_weights is not None and (
+                jnp.ndim(particle_weights) != 1
+                or jnp.shape(particle_weights)[0]
+                != particle_locations.shape[0]):
+            raise ValueError(
+                f"particle_weights must be 1-D with one weight per "
+                f"particle; got weights {jnp.shape(particle_weights)} vs "
+                f"locations {particle_locations.shape} — note the "
+                f"argument order is (locations, weights), matching the "
+                f"reference")
         if particle_weights is None:
             n = particle_locations.shape[0]
             particle_weights = jnp.full((n,), 1.0 / n, dtype=jnp.float32)

@@ -591,6 +591,8 @@ class SMCUpdater:
         """
         eps = self.model.canonicalize_expparams(expparams)
         outcomes = jnp.atleast_1d(outcomes)
+        self.model._bump("_call_count", int(outcomes.shape[0])
+                         * self.n_particles * n_expparams(eps))
         norm_w, L, norms = _hypothetical_update(
             self.model, self._state.weights, self._state.locations,
             outcomes, eps)
@@ -616,6 +618,10 @@ class SMCUpdater:
         step_fn = (_update_step_eager
                    if getattr(self.model, "host_only", False)
                    else _update_step)
+        # reference-parity call counter: one likelihood evaluation per
+        # (outcome=1, particle, experiment=1) — counted host-side, since
+        # device code cannot mutate Python state
+        self.model._bump("_call_count", self.n_particles)
         prev_state = self._state
         new_state, log_norm, was_zero = step_fn(
             self.model, self.resampler, self._state, outcome_arr, eps,
@@ -651,6 +657,8 @@ class SMCUpdater:
                             check_for_resample=(i % max(resample_interval, 1)
                                                 == resample_interval - 1))
             return jnp.asarray(self.normalization_record[-outcomes.shape[0]:])
+        self.model._bump("_call_count",
+                         int(outcomes.shape[0]) * self.n_particles)
         new_state, log_norms = _batch_update(
             self.model, self.resampler, self._state, outcomes, eps,
             self.resample_thresh, self.zero_weight_thresh,
@@ -912,6 +920,8 @@ class SMCUpdater:
         """
         eps = self.model.canonicalize_expparams(expparams)
         outcomes, mask = self._outcome_grid(eps)
+        self.model._bump("_call_count", int(outcomes.shape[0])
+                         * self.n_particles * n_expparams(eps))
         return _bayes_risk(
             self.model, self._state.weights, self._state.locations,
             outcomes, mask, eps, self.model.Q)
@@ -924,6 +934,8 @@ class SMCUpdater:
         """
         eps = self.model.canonicalize_expparams(expparams)
         outcomes, mask = self._outcome_grid(eps)
+        self.model._bump("_call_count", int(outcomes.shape[0])
+                         * self.n_particles * n_expparams(eps))
         return _expected_information_gain(
             self.model, self._state.weights, self._state.locations,
             outcomes, mask, eps)

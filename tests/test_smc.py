@@ -350,3 +350,22 @@ def test_sim_count_bookkeeping():
     eps = {"t": jnp.array([1.0, 2.0, 3.0])}
     model.simulate_experiment(jax.random.key(0), mps, eps, repeat=2)
     assert model.sim_count == 5 * 3 * 2
+
+
+def test_engine_call_counters():
+    """Reference parity (``abstract_model.py::Simulatable`` counters): the
+    engine counts likelihood element-evaluations host-side — one per
+    (outcome, particle, experiment) — across update/batch/design calls;
+    device code cannot mutate Python state, so the engine's host entry
+    points do the bookkeeping."""
+    u = q.SMCUpdater(q.SimplePrecessionModel(), 100,
+                     q.UniformDistribution([[0.0, 1.0]]), seed=0)
+    assert u.model.call_count == 0
+    u.update(1, {"t": jnp.array([1.0])})
+    assert u.model.call_count == 100
+    u.batch_update(jnp.array([0, 1]), {"t": jnp.array([1.0, 2.0])})
+    assert u.model.call_count == 300
+    u.bayes_risk({"t": jnp.array([1.0, 2.0, 3.0])})   # 2 outcomes x 3 cands
+    assert u.model.call_count == 300 + 2 * 100 * 3
+    u.model.reset_counters()
+    assert u.model.call_count == 0

@@ -139,7 +139,7 @@ class ExperimentDesigner:
             bounds[1])
 
         def clamp(x):
-            return float(np.clip(x, lo_b, hi_b))
+            return float(np.clip(np.asarray(x).ravel()[0], lo_b, hi_b))
 
         if self.opt_algo is OptimizationAlgorithms.GRID:
             best_x, best_risk = self._grid_search(

@@ -275,6 +275,19 @@ class Model(Simulatable):
             self.likelihood(outcomes, modelparams, expparams), EPS, None))
 
     @property
+    def has_log_likelihood(self):
+        """Engine hook: True when the model provides an analytically
+        STABLE ``log_likelihood`` override (the base clip-and-log default
+        does not count — it inherits the linear form's underflow). The
+        engine then uses the max-shifted log-space weight update.
+        Delegating wrappers (``DerivedModel``) override this to walk the
+        wrapper chain."""
+        for klass in type(self).__mro__:
+            if "log_likelihood" in vars(klass):
+                return klass is not Model
+        return False
+
+    @property
     def Q(self):
         """Positive weights for the quadratic loss
         ``(est - true)^T diag(Q) (est - true)``.

@@ -128,9 +128,57 @@ class DerivedModel(Model):
     def outcome_ndim(self):
         return self.underlying_model.outcome_ndim
 
-    def likelihood(self, outcomes, modelparams, expparams):
+    def likelihood(self, outcomes, modelparams, expparams, **kwargs):
         return self.underlying_model.likelihood(
-            outcomes, modelparams, expparams)
+            outcomes, modelparams, expparams, **kwargs)
+
+    def log_likelihood(self, outcomes, modelparams, expparams, **kwargs):
+        """Pure delegation — only advertised (``has_log_likelihood``) when
+        this wrapper does not transform the likelihood AND the underlying
+        model provides a stable log form."""
+        return self.underlying_model.log_likelihood(
+            outcomes, modelparams, expparams, **kwargs)
+
+    def _transforms_likelihood(self):
+        """True when a subclass below ``DerivedModel`` overrides
+        ``likelihood`` (Binomial/Multinomial/Poisoned/MLE…) — engine hooks
+        of the underlying model must then NOT be blindly delegated."""
+        for klass in type(self).__mro__:
+            if klass is DerivedModel:
+                return False
+            if "likelihood" in vars(klass):
+                return True
+        return False
+
+    @property
+    def has_log_likelihood(self):
+        """Engine hook: whether a stable ``log_likelihood`` is available
+        (``smc.py`` then uses the max-shifted log-space weight update).
+        Wrappers that define their own (BinomialModel,
+        ReferencedPoissonModel) advertise it; pure delegators
+        (RandomWalkModel…) inherit the underlying model's answer;
+        likelihood-transforming wrappers without their own log form
+        (PoisonedModel) do not."""
+        for klass in type(self).__mro__:
+            if klass is DerivedModel:
+                break
+            if "log_likelihood" in vars(klass):
+                return True
+            if "likelihood" in vars(klass):
+                return False
+        return bool(getattr(self.underlying_model,
+                            "has_log_likelihood", False))
+
+    @property
+    def wants_likelihood_key(self):
+        """Engine hook: per-step PRNG key threading for Monte-Carlo
+        likelihoods (ALE). Delegated only when this wrapper's likelihood
+        is a pure pass-through (a transforming wrapper's signature would
+        not accept the key)."""
+        if self._transforms_likelihood():
+            return False
+        return bool(getattr(self.underlying_model,
+                            "wants_likelihood_key", False))
 
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
         return self.underlying_model.simulate_experiment(
@@ -438,6 +486,21 @@ class MLEModel(DerivedModel):
     def likelihood(self, outcomes, modelparams, expparams):
         L = self.underlying_model.likelihood(outcomes, modelparams, expparams)
         return jnp.clip(L, EPS, None) ** self.likelihood_power
+
+    def log_likelihood(self, outcomes, modelparams, expparams):
+        """Annealed log form: ``power * log L`` — annealing AMPLIFIES
+        underflow (L^4 at 4x the exponent range), so the stable path
+        matters more here than for the plain model."""
+        logL = self.underlying_model.log_likelihood(
+            outcomes, modelparams, expparams)
+        return self.likelihood_power * jnp.maximum(
+            logL, jnp.log(jnp.asarray(EPS)))
+
+    @property
+    def has_log_likelihood(self):
+        # the annealed log form is only as stable as the underlying one
+        return bool(getattr(self.underlying_model,
+                            "has_log_likelihood", False))
 
 
 class RandomWalkModel(DerivedModel):

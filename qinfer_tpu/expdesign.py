@@ -82,8 +82,13 @@ class ExperimentDesigner:
             k: jnp.broadcast_to(v[:1], (n_cand,) + v.shape[1:])
             for k, v in base_eps.items()
         }
-        eps[field] = values.astype(eps[field].dtype
-                                   if field in eps else jnp.float32)
+        tgt = eps[field].dtype if field in eps else jnp.float32
+        if jnp.issubdtype(tgt, jnp.integer):
+            # round, don't floor: astype truncation made grid candidates
+            # collapse onto duplicate integers and recorded a best_x that
+            # was never the value actually evaluated
+            values = jnp.round(values)
+        eps[field] = values.astype(tgt)
         risk = self.updater.bayes_risk(eps)
         if cost_scale_k != 0.0 or cost_mult:
             cost = self.updater.model.experiment_cost(eps)

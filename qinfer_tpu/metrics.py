@@ -14,8 +14,11 @@ __all__ = ["rescaled_distance_mtx", "weighted_pairwise_distances"]
 
 def rescaled_distance_mtx(weights, locations, w_pow=0.5, metric="euclidean"):
     """Pairwise distance matrix rescaled by particle weights:
-    ``D_ij = d(x_i, x_j) / (w_i w_j)^{w_pow}`` (heavier particle pairs look
-    closer, so clusters form around posterior mass).
+    ``D_ij = d(x_i, x_j) / (n² w_i w_j)^{w_pow}`` — heavier-than-average
+    particle pairs look closer, so clusters form around posterior mass,
+    and uniform weights leave distances unchanged (the ``n²`` inside the
+    power makes the rescale dimensionless, so results are comparable
+    across ensemble sizes).
 
     Reference parity: ``src/qinfer/metrics.py::rescaled_distance_mtx``.
     """
@@ -24,12 +27,11 @@ def rescaled_distance_mtx(weights, locations, w_pow=0.5, metric="euclidean"):
     locations = np.asarray(locations)
     weights = np.asarray(weights)
     base = squareform(pdist(locations, metric=metric))
-    scale = np.power.outer(weights, weights) ** w_pow
     n = weights.shape[0]
+    scale = (n * n * np.multiply.outer(weights, weights)) ** w_pow
     # avoid division blowups for (numerically) zero-weight particles
     scale = np.clip(scale, np.finfo(float).tiny ** 0.5, None)
-    out = base / (n * n * scale)
-    return out
+    return base / scale
 
 
 def weighted_pairwise_distances(weights, locations, w_pow=0.5,

@@ -150,13 +150,11 @@ def _is_time_dep(model):
 def _has_log_likelihood(model):
     """Trace-time check whether the model provides an analytically stable
     ``log_likelihood`` override (engine then uses the max-shifted weight
-    update, immune to float32 likelihood underflow)."""
-    from .abstract_model import Model
-
-    for klass in type(model).__mro__:
-        if "log_likelihood" in vars(klass):
-            return klass is not Model
-    return False
+    update, immune to float32 likelihood underflow). Delegates to the
+    model's ``has_log_likelihood`` hook so wrapper chains
+    (``RandomWalkModel(BinomialModel(...))``) answer for the model that
+    actually computes the likelihood."""
+    return bool(getattr(model, "has_log_likelihood", False))
 
 
 def _single_log_likelihood(model, locations, outcome, eps, key=None):
@@ -364,15 +362,27 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
     return final, norms
 
 
+def _likelihood_grid(model, outcomes, locations, eps, key):
+    """Likelihood table for a scorer; threads a PRNG key into Monte-Carlo
+    likelihoods (``wants_likelihood_key``) so repeated design calls see
+    FRESH noise instead of one realization frozen into the compiled
+    executable (the model pytree loses its host-side seed counter inside
+    jit, so the key must come in as a traced argument)."""
+    if getattr(model, "wants_likelihood_key", False) and key is not None:
+        return model.likelihood(outcomes, locations, eps, key=key)
+    return model.likelihood(outcomes, locations, eps)
+
+
 @jax.jit
-def _hypothetical_update(model, weights, locations, outcomes, eps):
+def _hypothetical_update(model, weights, locations, outcomes, eps,
+                         key=None):
     """Posterior weights for every (outcome, experiment) hypothesis.
 
     Reference parity: ``smc.py::SMCUpdater.hypothetical_update`` — returns
     ``(norm_weights (n_out, n_eps, n), L (n_out, n, n_eps),
     norms (n_out, n_eps))``.
     """
-    L = model.likelihood(outcomes, locations, eps)  # (n_out, n, n_eps)
+    L = _likelihood_grid(model, outcomes, locations, eps, key)
     hyp = L * weights[None, :, None]
     norms = jnp.sum(hyp, axis=1)  # (n_out, n_eps)
     norm_w = jnp.moveaxis(hyp, 1, 2) / jnp.maximum(norms, EPS)[..., None]
@@ -380,14 +390,15 @@ def _hypothetical_update(model, weights, locations, outcomes, eps):
 
 
 @jax.jit
-def _bayes_risk(model, weights, locations, outcomes, mask, eps, Q):
+def _bayes_risk(model, weights, locations, outcomes, mask, eps, Q,
+                key=None):
     """Expected posterior Q-weighted variance, marginalized over outcomes.
 
     Reference parity: ``smc.py::SMCUpdater.bayes_risk`` — risk(e) =
     Σ_o Pr(o|e) · Σ_j Q_j Var_posterior[θ_j | o, e]. Masked fixed-shape
     reduction so padded outcome slots (variable-n binomial) contribute 0.
     """
-    L = model.likelihood(outcomes, locations, eps)  # (n_out, n, n_e)
+    L = _likelihood_grid(model, outcomes, locations, eps, key)
     L = L * mask[:, None, :]
     hyp = L * weights[None, :, None]
     N = jnp.sum(hyp, axis=1)  # (n_out, n_e) = Pr(outcome | e)
@@ -400,14 +411,15 @@ def _bayes_risk(model, weights, locations, outcomes, mask, eps, Q):
 
 
 @jax.jit
-def _expected_information_gain(model, weights, locations, outcomes, mask, eps):
+def _expected_information_gain(model, weights, locations, outcomes, mask,
+                               eps, key=None):
     """Mutual information between outcome and parameters for each candidate
     experiment.
 
     Reference parity: ``smc.py::SMCUpdater.expected_information_gain`` —
     IG(e) = H[Pr(o|e)] − E_θ H[Pr(o|θ,e)] (entropies in nats).
     """
-    L = model.likelihood(outcomes, locations, eps)  # (n_out, n, n_e)
+    L = _likelihood_grid(model, outcomes, locations, eps, key)
     L = L * mask[:, None, :]
     marg = jnp.einsum("onE,n->oE", L, weights)  # Pr(o | e)
     h_marg = -jnp.sum(marg * jnp.log(jnp.clip(marg, EPS, None)), axis=0)
@@ -579,6 +591,18 @@ class SMCUpdater:
 
     # -- core updates ------------------------------------------------------
 
+    def _design_key(self):
+        """Fresh PRNG key for Monte-Carlo likelihoods inside the jitted
+        design scorers (``wants_likelihood_key`` models, e.g. ALE).
+        Derived from — but not consuming — the engine key via a host-side
+        call counter, so every bayes_risk / information-gain / hypothetical
+        call sees new simulation noise instead of one realization frozen
+        into the compiled executable. None for analytic likelihoods."""
+        if not getattr(self.model, "wants_likelihood_key", False):
+            return None
+        self._design_calls = getattr(self, "_design_calls", 0) + 1
+        return jax.random.fold_in(self._state.key, self._design_calls)
+
     def hypothetical_update(self, outcomes, expparams,
                             return_likelihood=False,
                             return_normalization=False):
@@ -595,7 +619,7 @@ class SMCUpdater:
                          * self.n_particles * n_expparams(eps))
         norm_w, L, norms = _hypothetical_update(
             self.model, self._state.weights, self._state.locations,
-            outcomes, eps)
+            outcomes, eps, key=self._design_key())
         out = (norm_w,)
         if return_likelihood:
             out = out + (L,)
@@ -665,6 +689,22 @@ class SMCUpdater:
             resample_interval=int(resample_interval))
         zero_events = int(new_state.zero_weight_count) - int(
             self._state.zero_weight_count)
+        if zero_events > 0 and self.zero_weight_policy == "error":
+            # Sequential-API semantics: commit every update BEFORE the
+            # failing one and leave the updater at the failure point
+            # (discarding the whole batch would lose the good prefix and
+            # hand a caller who catches ZeroWeightError the prior).
+            # Replay eagerly from the identical pre-batch state; update()
+            # raises at the offending step.
+            n_batch = int(outcomes.shape[0])
+            for i in range(n_batch):
+                self.update(outcomes[i], expparams_at(eps, i),
+                            check_for_resample=(
+                                i % max(resample_interval, 1)
+                                == resample_interval - 1))
+            # replay did not reproduce the event (resampling randomness
+            # consumed differently); the replayed state is committed
+            return jnp.asarray(self.normalization_record[-n_batch:])
         if zero_events > 0:
             self._handle_zero_weight()
         self._warn_resampler_fallback(
@@ -887,21 +927,27 @@ class SMCUpdater:
             yield label, mass, cov
 
     def est_cluster_metrics(self, cluster_opts=None):
-        """Summary metrics over the clustering. Reference parity:
+        """Summary metrics over the clustering: ``n_noise`` is the NUMBER
+        of noise-labeled particles (not a 0/1 indicator), and zero-mass
+        clusters still count. Reference parity:
         ``SMCUpdater.est_cluster_metrics``."""
-        from .clustering import NO_CLUSTER
+        from .clustering import NO_CLUSTER, particle_clusters
 
-        labels, masses = [], []
-        for label, mass, _, _ in self.est_cluster_moments(cluster_opts):
-            labels.append(label)
-            masses.append(mass)
-        masses = np.asarray(masses)
+        w = np.asarray(self._state.weights)
+        x = np.asarray(self._state.locations)
+        n_clusters = 0
+        n_noise = 0
+        weight_in = 0.0
+        for label, mask in particle_clusters(x, w, **(cluster_opts or {})):
+            if label == NO_CLUSTER:
+                n_noise += int(mask.sum())
+            else:
+                n_clusters += 1
+                weight_in += float(w[mask].sum())
         return {
-            "n_clusters": int(sum(1 for l in labels if l != NO_CLUSTER)),
-            "n_noise": int(NO_CLUSTER in labels),
-            "weight_in_clusters": float(
-                masses[[l != NO_CLUSTER for l in labels]].sum()
-                if len(masses) else 0.0),
+            "n_clusters": n_clusters,
+            "n_noise": n_noise,
+            "weight_in_clusters": weight_in,
         }
 
     # -- adaptivity scores -------------------------------------------------
@@ -924,7 +970,7 @@ class SMCUpdater:
                          * self.n_particles * n_expparams(eps))
         return _bayes_risk(
             self.model, self._state.weights, self._state.locations,
-            outcomes, mask, eps, self.model.Q)
+            outcomes, mask, eps, self.model.Q, key=self._design_key())
 
     def expected_information_gain(self, expparams):
         """Expected information gain (mutual information, nats) for each
@@ -938,7 +984,7 @@ class SMCUpdater:
                          * self.n_particles * n_expparams(eps))
         return _expected_information_gain(
             self.model, self._state.weights, self._state.locations,
-            outcomes, mask, eps)
+            outcomes, mask, eps, key=self._design_key())
 
     # -- region estimation -------------------------------------------------
 
@@ -1085,8 +1131,9 @@ class SMCUpdater:
         names = (list(tick_labels) if tick_labels is not None
                  else list(self.model.modelparam_names))
         if param_slice is not None:
-            cov = cov[param_slice, param_slice]
-            names = names[param_slice]
+            idx = np.arange(len(names))[param_slice]  # slice OR index list
+            cov = cov[np.ix_(idx, idx)]
+            names = [names[i] for i in idx]
         im = plt.imshow(cov, interpolation="nearest", cmap="RdBu_r")
         plt.colorbar(im)
         plt.xticks(range(len(names)), names, **(tick_params or {}))

@@ -304,12 +304,14 @@ class ProcessTomographyModel(TomographyModel):
         """Λ(ρ_in) for each particle: Tr₁[(ρ_inᵀ ⊗ I) J], i.e.
         Λ(ρ)_{ab} = Σ_{ik} ρ_{ki} J[(k a), (i b)].
 
-        Host-side convenience (uses complex reconstruction; run on CPU)."""
+        Host-side convenience — all arithmetic stays in NumPy: complex
+        arrays must NEVER become device buffers (the forced axon TPU
+        backend implements no complex ops, including transfers)."""
         d = self.hilbert_dim
-        choi = self.modelparams_to_states(modelparams)  # (n, d², d²) ρ_Λ
+        choi = np.asarray(self.modelparams_to_states(modelparams))
         J4 = d * choi.reshape(-1, d, d, d, d)  # [n, k, a, i, b]
-        rho = jnp.asarray(rho_in, dtype=J4.dtype)
-        return jnp.einsum("ki,nkaib->nab", rho, J4)
+        rho = np.asarray(rho_in).astype(J4.dtype)
+        return np.einsum("ki,nkaib->nab", rho, J4)
 
 
 class DiffusiveTomographyModel(TomographyModel):

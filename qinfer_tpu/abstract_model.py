@@ -239,7 +239,19 @@ class Simulatable(Module):
 
     def canonicalize_expparams(self, expparams):
         """Coerce expparams (dict / structured array / scalar) to the pytree
-        convention used by all engine internals."""
+        convention used by all engine internals. An EMPTY dict means "one
+        default experiment": fields are synthesized as zeros of the model's
+        ``expparams_dtype`` (the ergonomic analogue of the reference's
+        size-1 structured array for models whose experiments carry no real
+        parameters, e.g. ``CoinModel``)."""
+        if isinstance(expparams, dict) and not expparams:
+            out = {}
+            for field in self.expparams_dtype:
+                name, dtype = field[0], field[1]
+                shape = (1,) + tuple(np.atleast_1d(field[2]).tolist()) \
+                    if len(field) > 2 else (1,)
+                out[name] = jnp.zeros(shape, dtype=dtype)
+            return out
         return expparams_to_dict(expparams, self.expparams_dtype)
 
 

@@ -184,8 +184,14 @@ class ExperimentDesigner:
                 base_eps = dict(stored)
 
         out = dict(base_eps)
-        out[field] = jnp.atleast_1d(jnp.asarray(
-            best_x, dtype=np.asarray(base_eps[field]).dtype))
+        field_dtype = np.asarray(base_eps[field]).dtype
+        if np.issubdtype(field_dtype, np.integer):
+            # round (and re-clamp) BEFORE the dtype cast: _risk_of scored
+            # round(best_x), so a raw truncating astype (7.6 -> 7) would
+            # return an experiment different from the one whose risk was
+            # evaluated and reported — on all of GRID/NM/CG paths
+            best_x = clamp(np.rint(best_x))
+        out[field] = jnp.atleast_1d(jnp.asarray(best_x, dtype=field_dtype))
         if disp:
             print(f"design_expparams_field: {field}={best_x:.6g} "
                   f"risk={best_risk:.6g}")

@@ -489,16 +489,13 @@ class LiuWestResampler(Resampler):
             n_fallback = jnp.sum(~valid).astype(jnp.int32)
             new_x = jnp.where(valid[:, None], new_x, x_anc)
 
-        if not (getattr(model, "canonicalize_is_validity_projection", False)
-                and self.postselect and self.maxiter > 0):
-            # Models that declare canonicalize to be a pure
-            # validity projection (identity on valid states, e.g.
-            # TomographyModel's PSD projection) skip it here: the
-            # redraw loop + ancestor fallback above already guarantees
-            # every slot valid, so the projection would re-derive a
-            # predicate this function just computed. Models whose
-            # canonicalize does more (simplex/trace renormalization)
-            # keep the call.
-            new_x = model.canonicalize(new_x)
+        # canonicalize unconditionally (reference parity: the reference
+        # applies it after every resample). The redraw loop above only
+        # guarantees validity within the model's psd_tol, while
+        # canonicalize may promise a strictly tighter invariant (e.g.
+        # TomographyModel projects anything outside 1e-6 of the PSD
+        # cone); models gate their own expensive projections internally,
+        # so this call is cheap on the all-valid common path.
+        new_x = model.canonicalize(new_x)
         new_w = jnp.full((n,), 1.0 / n, dtype=w.dtype)
         return new_w, new_x, n_fallback

@@ -665,6 +665,36 @@ class SMCUpdater:
         self.normalization_record.append(
             float(np.exp(np.float64(log_norm))))
 
+    def _replay_update(self, outcome, eps, check_resample, resample_gate):
+        """One sequential update that consumes PRNG keys exactly like a
+        ``batch_update`` scan step: the resample key split always happens
+        when the scan's does (``check_resample=True``), with the interval
+        predicate passed as the traced gate. Used by the zero-weight
+        ``'error'`` replay so the scanned batch and the eager replay walk
+        the SAME key stream and the detected event reproduces
+        deterministically. Raises (via ``_handle_zero_weight``) BEFORE
+        committing the failing step, leaving the good prefix committed."""
+        outcome_arr = _lift_outcome(self.model, jnp.asarray(outcome))
+        self.model._bump("_call_count", self.n_particles)
+        prev_state = self._state
+        new_state, log_norm, was_zero = _update_step(
+            self.model, self.resampler, self._state, outcome_arr, eps,
+            self.resample_thresh, self.zero_weight_thresh,
+            check_resample=bool(check_resample),
+            resample_gate=(jnp.asarray(bool(resample_gate))
+                           if check_resample else None))
+        if bool(was_zero):
+            self._handle_zero_weight()
+        self._warn_resampler_fallback(
+            int(new_state.resampler_fallback_count)
+            - int(prev_state.resampler_fallback_count))
+        self._state = new_state
+        if bool(new_state.just_resampled):
+            self._on_resample_diagnostics(prev_state, new_state)
+        self.data_record.append(np.asarray(outcome))
+        self.normalization_record.append(
+            float(np.exp(np.float64(log_norm))))
+
     def batch_update(self, outcomes, expparams, resample_interval=5):
         """Condition on a whole record of (outcome, experiment) pairs in one
         on-device ``lax.scan``.
@@ -694,17 +724,27 @@ class SMCUpdater:
             # failing one and leave the updater at the failure point
             # (discarding the whole batch would lose the good prefix and
             # hand a caller who catches ZeroWeightError the prior).
-            # Replay eagerly from the identical pre-batch state; update()
-            # raises at the offending step.
+            # The replay consumes PRNG keys IDENTICALLY to the scanned
+            # batch — check_resample=True with the interval predicate as
+            # the traced gate, exactly like the scan body — so the zero
+            # event deterministically reproduces at the same step and
+            # raises there (a plain update(check_for_resample=False)
+            # would skip the scan's per-step resample key split and
+            # silently diverge). The batch call-count bump above is
+            # rewound first; the per-step replay re-counts it.
+            self.model._bump("_call_count",
+                             -int(outcomes.shape[0]) * self.n_particles)
             n_batch = int(outcomes.shape[0])
+            check_now = resample_interval > 0
+            interval = max(int(resample_interval), 1)
             for i in range(n_batch):
-                self.update(outcomes[i], expparams_at(eps, i),
-                            check_for_resample=(
-                                i % max(resample_interval, 1)
-                                == resample_interval - 1))
-            # replay did not reproduce the event (resampling randomness
-            # consumed differently); the replayed state is committed
-            return jnp.asarray(self.normalization_record[-n_batch:])
+                self._replay_update(
+                    outcomes[i], expparams_at(eps, i),
+                    check_resample=check_now,
+                    resample_gate=(i % interval == interval - 1))
+            raise AssertionError(
+                "batch_update detected a zero-weight event but the "
+                "key-faithful replay did not reproduce it")
         if zero_events > 0:
             self._handle_zero_weight()
         self._warn_resampler_fallback(

@@ -109,6 +109,60 @@ def batched_cholesky_small(a):
          for i in range(d)], -2)
 
 
+def batched_jacobi_eigh_small(a, sweeps=6):
+    """Eigendecomposition of a batch of small symmetric matrices
+    ``(..., d, d)`` (d static, ≤ ~16) by a fully UNROLLED cyclic Jacobi
+    iteration: every rotation is a handful of elementwise ops over the
+    batch axis plus static-index row/column updates, so XLA fuses the
+    whole solve into VPU passes over the batch. ``jnp.linalg.eigh``
+    (QDWH) on batched tiny matrices costs hundreds of sequential
+    micro-steps per call on TPU — the cliff that made per-step PSD
+    projection of diffusive tomography ensembles ~250× slower than the
+    rest of the update (docs/PERF_NOTES.md).
+
+    Returns ``(ev, V)`` with ``a ≈ V @ diag(ev) @ V.T`` (eigenvalues
+    UNSORTED; V orthogonal by construction as a product of rotations).
+    ``sweeps=6`` reaches the f32 noise floor for d ≤ 16 (Jacobi converges
+    quadratically once off-diagonals are small).
+    """
+    d = a.shape[-1]
+    A = a
+    V = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
+    for _ in range(int(sweeps)):
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                apq = A[..., p, q]
+                app = A[..., p, p]
+                aqq = A[..., q, q]
+                small = jnp.abs(apq) <= 1e-30
+                theta = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+                sgn = jnp.where(theta >= 0, 1.0, -1.0)
+                # t = tan(phi) of the annihilating rotation; theta² can
+                # overflow f32 when apq is denormal-tiny — the inf then
+                # yields t = 0 (a harmless skipped rotation), never NaN
+                t = sgn / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
+                c = 1.0 / jnp.sqrt(t * t + 1.0)
+                s = t * c
+                c = jnp.where(small, 1.0, c)
+                s = jnp.where(small, 0.0, s)
+                cb = c[..., None]
+                sb = s[..., None]
+                rp = A[..., p, :]
+                rq = A[..., q, :]
+                A = (A.at[..., p, :].set(cb * rp - sb * rq)
+                      .at[..., q, :].set(sb * rp + cb * rq))
+                cp = A[..., :, p]
+                cq = A[..., :, q]
+                A = (A.at[..., :, p].set(cb * cp - sb * cq)
+                      .at[..., :, q].set(sb * cp + cb * cq))
+                vp = V[..., :, p]
+                vq = V[..., :, q]
+                V = (V.at[..., :, p].set(cb * vp - sb * vq)
+                      .at[..., :, q].set(sb * vp + cb * vq))
+    ev = jnp.diagonal(A, axis1=-2, axis2=-1)
+    return ev, V
+
+
 def hermitian_eigh_embedded(rho, transform):
     """Apply an elementwise spectral ``transform`` (e.g. clipping) to a
     batch of complex Hermitian matrices, entirely in the real embedding:

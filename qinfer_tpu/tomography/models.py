@@ -129,12 +129,6 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
         L = batched_cholesky_small(m + self.psd_tol * eye)
         return ~jnp.any(jnp.isnan(L), axis=(-2, -1))
 
-    #: canonicalize is a pure PSD projection — identity on valid states
-    #: (the trace coordinate is not a model parameter, so proposals keep
-    #: trace exactly); the resampler's validity loop may therefore skip
-    #: the post-resample canonicalize call.
-    canonicalize_is_validity_projection = True
-
     def canonicalize(self, modelparams):
         """Project onto the PSD cone: clip negative eigenvalues and
         renormalize the trace (the reference's canonicalization for

@@ -1,0 +1,145 @@
+"""Regression tests for the round-3 correctness fixes (VERDICT r2 weak #1,
+ADVICE r2 items 1-3): key-faithful zero-weight replay, integer expparam
+rounding in the designer, and the strict post-resample canonicalize
+contract."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qinfer_tpu as q
+from qinfer_tpu._exceptions import ZeroWeightError
+
+
+# ---------------------------------------------------------------------------
+# batch_update zero-weight 'error' replay (smc.py)
+# ---------------------------------------------------------------------------
+
+def _impossible_batch():
+    """12 precession experiments where step 7 has t=0 and outcome=1 —
+    Pr(1 | omega, t=0) = sin²(0) = 0 for EVERY particle, so the zero-weight
+    event is certain at step 7 regardless of the resampling stream."""
+    ts = np.linspace(0.5, 6.0, 12)
+    outcomes = np.zeros(12, dtype=np.int32)
+    ts[7] = 0.0
+    outcomes[7] = 1
+    return outcomes, {"t": jnp.asarray(ts, jnp.float32)}
+
+
+def test_zero_weight_error_replay_raises_with_prefix_committed():
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    outcomes, eps = _impossible_batch()
+
+    u = q.SMCUpdater(model, 512, prior, seed=42,
+                     zero_weight_policy="error")
+    with pytest.raises(ZeroWeightError):
+        u.batch_update(outcomes, eps, resample_interval=5)
+    # the good prefix (steps 0..6) is committed; the failing step is not
+    assert len(u.data_record) == 7
+    assert len(u.normalization_record) == 7
+    # the committed state genuinely reflects the prefix (not the prior)
+    assert u.min_n_ess < 512
+
+
+def test_zero_weight_error_replay_is_key_faithful():
+    """The committed replay prefix must match the scanned batch exactly:
+    same normalizations (hence same resample decisions / key stream) as a
+    'reset'-policy run of the identical batch. Before the round-3 fix the
+    replay skipped the scan's per-step resample key split on non-interval
+    steps, so the streams diverged after the first gated step."""
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    outcomes, eps = _impossible_batch()
+
+    ref = q.SMCUpdater(model, 512, prior, seed=42,
+                       zero_weight_policy="reset")
+    ref_norms = np.asarray(ref.batch_update(outcomes, eps,
+                                            resample_interval=5))
+
+    u = q.SMCUpdater(model, 512, prior, seed=42,
+                     zero_weight_policy="error")
+    with pytest.raises(ZeroWeightError):
+        u.batch_update(outcomes, eps, resample_interval=5)
+    np.testing.assert_allclose(
+        np.asarray(u.normalization_record), ref_norms[:7], rtol=1e-5)
+
+
+def test_zero_weight_error_replay_call_count_not_double_counted():
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    outcomes, eps = _impossible_batch()
+    u = q.SMCUpdater(model, 512, prior, seed=42,
+                     zero_weight_policy="error")
+    with pytest.raises(ZeroWeightError):
+        u.batch_update(outcomes, eps, resample_interval=5)
+    # batch bump rewound; replay counted one bump per replayed step
+    # (8 steps ran: 7 committed + the failing one)
+    assert model.call_count == 8 * 512
+
+
+# ---------------------------------------------------------------------------
+# ExperimentDesigner integer-field rounding (expdesign.py)
+# ---------------------------------------------------------------------------
+
+class _StubModel:
+    def canonicalize_expparams(self, eps):
+        return {k: jnp.atleast_1d(jnp.asarray(v)) for k, v in eps.items()}
+
+
+class _StubUpdater:
+    model = _StubModel()
+
+    def bayes_risk(self, eps):
+        return (jnp.asarray(eps["m"], jnp.float32) - 7.6) ** 2
+
+
+def test_designer_returns_the_integer_it_scored():
+    """_risk_of rounds integer-field candidates before scoring, so the
+    returned experiment must round too: risk((8-7.6)²)=0.16 beats
+    risk((7-7.6)²)=0.36, and a truncating astype of the fractional grid
+    argmin (e.g. 7.7) would return 7 — an experiment whose (worse) risk
+    was never the one reported. (NM/CG share the rounding at the output
+    cast, but on an integer field they can never leave the rounding
+    plateau of their start point, so GRID is the path that exercises a
+    fractional best_x.)"""
+    designer = q.ExperimentDesigner(_StubUpdater(), opt_algo="GRID")
+    out = designer.design_expparams_field(
+        {"m": np.array([5], dtype=np.int32)}, "m",
+        bounds=(1, 100))
+    m = int(np.asarray(out["m"])[0])
+    assert m == 8
+    assert np.asarray(out["m"]).dtype == np.int32
+
+
+# ---------------------------------------------------------------------------
+# strict post-resample canonicalize (resamplers.py / tomography)
+# ---------------------------------------------------------------------------
+
+def test_resampler_enforces_strict_canonicalize():
+    """States valid within psd_tol but outside the strict PSD cone must be
+    projected by the post-resample canonicalize (the resampler previously
+    skipped it for models flagging canonicalize as a validity projection,
+    leaving borderline non-PSD states in the ensemble indefinitely)."""
+    import qinfer_tpu.tomography as tomo
+
+    basis = tomo.pauli_basis(1)
+    model = tomo.TomographyModel(basis)  # psd_tol = 2e-3
+    n = 256
+    # particles at Bloch radius (1 + 1.5*psd_tol)/sqrt(2): valid per
+    # are_models_valid, strictly outside the Bloch ball
+    key = jax.random.key(0)
+    dirs = jax.random.normal(key, (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    r = (1.0 + 1.5 * model.psd_tol) / np.sqrt(2.0)
+    x = r * dirs
+    assert bool(jnp.all(model.are_models_valid(x)))
+    w = jnp.full((n,), 1.0 / n)
+
+    # a=1 => h=0: proposals are exactly the (borderline) ancestors, so
+    # only canonicalize can restore the strict invariant
+    res = q.LiuWestResampler(a=1.0)
+    _, new_x = res(model, jax.random.key(1), w, x)
+    radii = np.asarray(jnp.linalg.norm(new_x, axis=1))
+    assert radii.max() <= 1.0 / np.sqrt(2.0) + 1e-5

@@ -179,6 +179,11 @@ def perf_test_scan(model, n_particles, prior, n_exp, heuristic_factory=None,
         eps = heuristic.propose(k_h, st.weights, st.locations, idx)
         outcome = model.simulate_experiment(k_sim, true, eps)
         outcome = jnp.asarray(outcome).reshape(-1)[0]
+        if bool(model.is_time_dependent):
+            # the TRUE parameters evolve alongside the particles
+            # (reference parity: perf_test's true_model.update_timestep)
+            key, k_ts = jax.random.split(key)
+            true = model.update_timestep(k_ts, true, eps)[:, :, 0]
         new_st, log_norm, _ = _update_step(
             model, updater.resampler, st, outcome, eps,
             updater.resample_thresh, updater.zero_weight_thresh,
@@ -194,9 +199,9 @@ def perf_test_scan(model, n_particles, prior, n_exp, heuristic_factory=None,
     def run(state, true, key):
         return jax.lax.scan(step, (state, true, key), jnp.arange(n_exp))
 
-    (final_state, _, _), record = run(updater.state, true_mps, key)
+    (final_state, final_true, _), record = run(updater.state, true_mps, key)
     updater.state = final_state
-    record["true_mps"] = true_mps
+    record["true_mps"] = final_true
     return updater, record
 
 
@@ -256,24 +261,28 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
         state, true_mps = make_trial(trial_key)
 
         def step(carry, idx):
-            st, key = carry
+            st, key, true = carry
             key, k_h, k_sim = jax.random.split(key, 3)
             eps = heuristic.propose(k_h, st.weights, st.locations, idx)
-            outcome = model.simulate_experiment(k_sim, true_mps, eps)
+            outcome = model.simulate_experiment(k_sim, true, eps)
             outcome = jnp.asarray(outcome).reshape(-1)[0]
+            if bool(model.is_time_dependent):
+                # the TRUE parameters evolve alongside the particles
+                key, k_ts = jax.random.split(key)
+                true = model.update_timestep(k_ts, true, eps)[:, :, 0]
             new_st, _, _ = _update_step_impl(
                 model, resampler, st, outcome, eps,
                 resample_thresh, zero_thresh, check_resample=True)
             est = new_st.weights @ new_st.locations
-            delta = est - true_mps[0]
+            delta = est - true[0]
             loss = jnp.sum(Q * delta * delta)
             ess = 1.0 / jnp.sum(new_st.weights ** 2)
-            return (new_st, key), dict(loss=loss, ess=ess, est=est)
+            return (new_st, key, true), dict(loss=loss, ess=ess, est=est)
 
-        (final, _), rec = jax.lax.scan(
-            step, (state, jax.random.fold_in(trial_key, 1)),
+        (final, _, final_true), rec = jax.lax.scan(
+            step, (state, jax.random.fold_in(trial_key, 1), true_mps),
             jnp.arange(n_exp))
-        rec["true_mps"] = true_mps[0]
+        rec["true_mps"] = final_true[0]
         rec["final_weights"] = final.weights
         rec["final_locations"] = final.locations
         return rec

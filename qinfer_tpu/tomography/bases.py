@@ -26,6 +26,8 @@ __all__ = [
     "tensor_product_basis",
     "hermitian_eigvalsh",
     "hermitian_eigh_embedded",
+    "batched_cholesky_small",
+    "batched_jacobi_eigh_small",
     "assemble_embedding",
     "embed_hermitian",
     "embed_hermitian_host",
@@ -109,56 +111,73 @@ def batched_cholesky_small(a):
          for i in range(d)], -2)
 
 
+def _round_robin_rounds(d):
+    """Round-robin (circle-method) pairing: d−1 rounds of d/2 DISJOINT
+    index pairs covering every (p, q) pair exactly once (d even)."""
+    others = list(range(1, d))
+    rounds = []
+    for _ in range(d - 1):
+        ring = [0] + others
+        rounds.append([(min(ring[i], ring[d - 1 - i]),
+                        max(ring[i], ring[d - 1 - i]))
+                       for i in range(d // 2)])
+        others = [others[-1]] + others[:-1]
+    return rounds
+
+
 def batched_jacobi_eigh_small(a, sweeps=6):
     """Eigendecomposition of a batch of small symmetric matrices
-    ``(..., d, d)`` (d static, ≤ ~16) by a fully UNROLLED cyclic Jacobi
-    iteration: every rotation is a handful of elementwise ops over the
-    batch axis plus static-index row/column updates, so XLA fuses the
-    whole solve into VPU passes over the batch. ``jnp.linalg.eigh``
-    (QDWH) on batched tiny matrices costs hundreds of sequential
-    micro-steps per call on TPU — the cliff that made per-step PSD
-    projection of diffusive tomography ensembles ~250× slower than the
-    rest of the update (docs/PERF_NOTES.md).
+    ``(..., d, d)`` (d static, ≤ ~16) by PARALLEL-ORDERED cyclic Jacobi:
+    each round annihilates d/2 disjoint pivots at once through a single
+    orthogonal plane-rotation product G (disjoint rotations commute), so
+    one sweep is d−1 rounds of two batched d×d matmuls — MXU work over
+    the batch axis instead of the hundreds of sequential micro-steps
+    ``jnp.linalg.eigh`` (QDWH) lowers batched tiny matrices to on TPU
+    (docs/PERF_NOTES.md rule #7). A fully sequential unroll was measured
+    at ~12 s of XLA compile time for d=8 (840 scalar rotations); this
+    formulation compiles ~6× fewer, larger ops.
 
     Returns ``(ev, V)`` with ``a ≈ V @ diag(ev) @ V.T`` (eigenvalues
     UNSORTED; V orthogonal by construction as a product of rotations).
-    ``sweeps=6`` reaches the f32 noise floor for d ≤ 16 (Jacobi converges
-    quadratically once off-diagonals are small).
+    ``sweeps=6`` reaches the f32 noise floor for d ≤ 16.
     """
     d = a.shape[-1]
+    if d % 2:  # pad to even with a decoupled unit diagonal slot
+        pad = [(0, 0)] * (a.ndim - 2) + [(0, 1), (0, 1)]
+        a_p = jnp.pad(a, pad)
+        a_p = a_p.at[..., d, d].set(1.0)
+        ev, V = batched_jacobi_eigh_small(a_p, sweeps)
+        return ev[..., :d], V[..., :d, :d]
+
     A = a
-    V = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
+    eye = jnp.eye(d, dtype=a.dtype)
+    V = jnp.broadcast_to(eye, a.shape)
+    rounds = _round_robin_rounds(d)
     for _ in range(int(sweeps)):
-        for p in range(d - 1):
-            for q in range(p + 1, d):
-                apq = A[..., p, q]
-                app = A[..., p, p]
-                aqq = A[..., q, q]
-                small = jnp.abs(apq) <= 1e-30
-                theta = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
-                sgn = jnp.where(theta >= 0, 1.0, -1.0)
-                # t = tan(phi) of the annihilating rotation; theta² can
-                # overflow f32 when apq is denormal-tiny — the inf then
-                # yields t = 0 (a harmless skipped rotation), never NaN
-                t = sgn / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
-                c = 1.0 / jnp.sqrt(t * t + 1.0)
-                s = t * c
-                c = jnp.where(small, 1.0, c)
-                s = jnp.where(small, 0.0, s)
-                cb = c[..., None]
-                sb = s[..., None]
-                rp = A[..., p, :]
-                rq = A[..., q, :]
-                A = (A.at[..., p, :].set(cb * rp - sb * rq)
-                      .at[..., q, :].set(sb * rp + cb * rq))
-                cp = A[..., :, p]
-                cq = A[..., :, q]
-                A = (A.at[..., :, p].set(cb * cp - sb * cq)
-                      .at[..., :, q].set(sb * cp + cb * cq))
-                vp = V[..., :, p]
-                vq = V[..., :, q]
-                V = (V.at[..., :, p].set(cb * vp - sb * vq)
-                      .at[..., :, q].set(sb * vp + cb * vq))
+        for pairs in rounds:
+            p = jnp.asarray([pq[0] for pq in pairs])
+            q = jnp.asarray([pq[1] for pq in pairs])
+            apq = A[..., p, q]                      # (..., d/2)
+            app = A[..., p, p]
+            aqq = A[..., q, q]
+            small = jnp.abs(apq) <= 1e-30
+            theta = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+            sgn = jnp.where(theta >= 0, 1.0, -1.0)
+            # t = tan(phi) of the annihilating rotation; theta² can
+            # overflow f32 when apq is denormal-tiny — the inf then
+            # yields t = 0 (a harmless skipped rotation), never NaN
+            t = sgn / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
+            c = 1.0 / jnp.sqrt(t * t + 1.0)
+            s = t * c
+            c = jnp.where(small, 1.0, c)
+            s = jnp.where(small, 0.0, s)
+            # G = product of the d/2 commuting rotations:
+            # G[p,p]=G[q,q]=c, G[p,q]=s, G[q,p]=−s, identity elsewhere
+            G = jnp.broadcast_to(eye, A.shape)
+            G = (G.at[..., p, p].set(c).at[..., q, q].set(c)
+                  .at[..., p, q].set(s).at[..., q, p].set(-s))
+            A = jnp.einsum("...ji,...jk,...kl->...il", G, A, G)
+            V = jnp.einsum("...ij,...jk->...ik", V, G)
     ev = jnp.diagonal(A, axis1=-2, axis2=-1)
     return ev, V
 

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from ..abstract_model import DifferentiableModel, FiniteOutcomeModel, \
     n_expparams
 from ..config import EPS
-from .bases import batched_cholesky_small, embed_hermitian_host
+from .bases import (batched_cholesky_small, batched_jacobi_eigh_small,
+                    embed_hermitian_host)
 
 __all__ = ["TomographyModel", "DiffusiveTomographyModel",
            "ProcessTomographyModel"]
@@ -152,31 +153,43 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
             return modelparams * scale
         # PSD projection of an already-PSD state is the identity (the
         # proposal trace is exact by construction — the trace coordinate
-        # is not a model parameter), so the batched embedded eigh (the
-        # hot cost of general-dim tomography) is gated behind one cheap
-        # unrolled-Cholesky pass and skipped when every state is PSD.
-        # The gate is STRICT (jitter 1e-6, not psd_tol): states with
+        # is not a model parameter), so the projection is gated behind one
+        # cheap unrolled-Cholesky pass and skipped when every state is
+        # PSD. The gate is STRICT (jitter 1e-6, not psd_tol): states with
         # eigenvalues in [-psd_tol, -1e-6) count as valid for inference
         # but still get projected here, preserving the PSD-enforcer
         # contract to well below the projection's own f32 noise.
+        #
+        # The projection itself is PER-PARTICLE MASKED (strictly-PSD rows
+        # pass through bit-identically) and uses the unrolled batched
+        # Jacobi eigh for small embeddings: one invalid particle no
+        # longer costs a whole-batch QDWH eigh — the cliff that made
+        # DiffusiveTomographyModel (where "some particle left the cone"
+        # is the common case after every diffusion step) ~250× slower
+        # than the static general-dim path.
         m_gate = self._embedded_states(modelparams)
         eye_g = jnp.eye(m_gate.shape[-1], dtype=m_gate.dtype)
         L_gate = batched_cholesky_small(m_gate + 1e-6 * eye_g)
-        strictly_psd = ~jnp.any(jnp.isnan(L_gate))
+        row_invalid = jnp.any(jnp.isnan(L_gate), axis=(-2, -1))  # (n,)
 
-        def project(mp):
-            m = self._embedded_states(mp)
-            ev, V = jnp.linalg.eigh(m)  # real symmetric eigh — TPU-safe
+        def project(args):
+            mp, m, invalid = args
+            if m.shape[-1] <= 16:
+                ev, V = batched_jacobi_eigh_small(m)
+            else:
+                ev, V = jnp.linalg.eigh(m)  # real symmetric — TPU-safe
             ev = jnp.clip(ev, 0.0, None)
             # embedded trace is 2·Tr(rho); normalize to embedded trace 2
             tr = jnp.sum(ev, axis=-1, keepdims=True)
             ev = 2.0 * ev / jnp.clip(tr, EPS, None)
             m2 = jnp.einsum("nab,nb,ncb->nac", V, ev, V)
             coords = self.basis.embedded_to_coords(m2)
-            return coords[..., 1:].astype(mp.dtype)
+            return jnp.where(invalid[:, None],
+                             coords[..., 1:].astype(mp.dtype), mp)
 
-        return jax.lax.cond(strictly_psd, lambda mp: mp, project,
-                            modelparams)
+        return jax.lax.cond(jnp.any(row_invalid), project,
+                            lambda args: args[0],
+                            (modelparams, m_gate, row_invalid))
 
     def likelihood(self, outcomes, modelparams, expparams):
         """Born rule: Pr(0 | ρ; E) = Tr(Eρ) = e·x (coordinate dot product,

@@ -143,6 +143,52 @@ def test_tomography_calibration():
     assert np.median(err) < 0.15
 
 
+def test_diffusive_tomography_calibration():
+    """DiffusiveTomographyModel (time-dependent: the truth diffuses and is
+    tracked through update_timestep) is calibrated — the posterior at the
+    end must cover the CURRENT (diffused) truth at nominal rates. Extends
+    the PIT/coverage evidence to the update_timestep engine path (VERDICT
+    r2 next-round items 4 and 8)."""
+    import qinfer_tpu.tomography as tomo
+    from qinfer_tpu.perf_testing import perf_test_scan_batch
+
+    basis = tomo.pauli_basis(1)
+    model = q.BinomialModel(
+        tomo.DiffusiveTomographyModel(basis, diffusion_rate=0.03),
+        n_meas_max=32)
+    assert model.is_time_dependent
+    prior = tomo.GinibreDistribution(basis)
+    n_trials = 32
+    rec = perf_test_scan_batch(
+        model, 2048, prior, 50, n_trials=n_trials, seed=13,
+        heuristic_factory=lambda stub: tomo.RandomPauliHeuristic(
+            stub, other_fields={"t": 1.0, "n_meas": 32}))
+    _assert_calibrated(rec, [0, 1, 2], n_trials, "diffusive tomography")
+    # the tracker genuinely follows the moving truth
+    err = np.linalg.norm(np.asarray(rec["est"])[:, -1, :]
+                         - np.asarray(rec["true_mps"]), axis=1)
+    assert np.median(err) < 0.25
+
+
+def test_ale_calibration():
+    """ALE-wrapped precession (Monte-Carlo likelihood, keyed per step) is
+    calibrated — the hedged-estimate noise must not bias the posterior
+    (VERDICT r2 next-round item 8)."""
+    from qinfer_tpu.ale import ALEApproximateModel
+    from qinfer_tpu.perf_testing import perf_test_scan_batch
+
+    model = ALEApproximateModel(q.SimplePrecessionModel(),
+                                error_tol=0.05, samp_step=100)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    n_trials = 32
+    rec = perf_test_scan_batch(model, 1024, prior, 30, n_trials=n_trials,
+                               seed=17)
+    _assert_calibrated(rec, [0], n_trials, "ALE precession")
+    err = np.abs(np.asarray(rec["est"])[:, -1, 0]
+                 - np.asarray(rec["true_mps"])[:, 0])
+    assert np.median(err) < 0.05
+
+
 def test_process_tomography_calibration():
     """Process tomography (dim-4 Choi coordinates over a BCSZ prior) is
     calibrated under fiducial prepare-and-measure experiments — extends

@@ -117,6 +117,63 @@ def test_designer_returns_the_integer_it_scored():
 # strict post-resample canonicalize (resamplers.py / tomography)
 # ---------------------------------------------------------------------------
 
+def test_batched_jacobi_eigh_matches_host_eigh():
+    """Unrolled cyclic Jacobi on batched small symmetric matrices must
+    reconstruct the input and reproduce the host eigenspectrum."""
+    from qinfer_tpu.tomography.bases import batched_jacobi_eigh_small
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(64, 8, 8)).astype(np.float32)
+    a = a + a.transpose(0, 2, 1)
+    ev, V = batched_jacobi_eigh_small(jnp.asarray(a))
+    ev, V = np.asarray(ev), np.asarray(V)
+    recon = np.einsum("nab,nb,ncb->nac", V, ev, V)
+    scale = np.abs(a).max()
+    assert np.abs(recon - a).max() < 2e-5 * scale
+    # orthogonality of V
+    vtv = np.einsum("nab,nac->nbc", V, V)
+    assert np.abs(vtv - np.eye(8)).max() < 1e-5
+    ref = np.linalg.eigvalsh(a)
+    np.testing.assert_allclose(np.sort(ev, axis=1), ref,
+                               atol=2e-5 * scale, rtol=1e-4)
+
+
+def test_canonicalize_projection_is_per_particle_masked():
+    """General-dim canonicalize must leave strictly-PSD rows bit-identical
+    and project ONLY the invalid rows (VERDICT r2 weak #5: the old
+    all-or-nothing cond ran a whole-batch embedded eigh whenever a single
+    particle left the PSD cone, and perturbed every row by the f32 eigh
+    noise)."""
+    import qinfer_tpu.tomography as tomo
+
+    basis = tomo.pauli_basis(2)  # dim 4 -> the general-dim path
+    model = tomo.TomographyModel(basis)
+    key = jax.random.key(3)
+    prior = tomo.GinibreDistribution(basis)
+    mp = prior.sample(key, 128)
+    # push half the rows outside the cone by scaling their traceless part
+    bad = jnp.arange(128) % 2 == 0
+    mp_pushed = jnp.where(bad[:, None], 1.6 * mp, mp)
+    valid_before = np.asarray(model.are_models_valid(mp_pushed))
+
+    out = np.asarray(model.canonicalize(mp_pushed))
+    mp_pushed = np.asarray(mp_pushed)
+    # strictly-valid input rows pass through EXACTLY
+    untouched = valid_before & ~np.asarray(bad)
+    assert untouched.any()
+    np.testing.assert_array_equal(out[untouched], mp_pushed[untouched])
+    # every output row is a physical state
+    assert bool(np.all(np.asarray(model.are_models_valid(jnp.asarray(out)))))
+    # projected rows match the host clip-projection
+    rho = np.asarray(model.modelparams_to_states(jnp.asarray(mp_pushed)))
+    ev, V = np.linalg.eigh(rho)
+    ev = np.clip(ev, 0.0, None)
+    ev = ev / ev.sum(axis=-1, keepdims=True)
+    rho_proj = np.einsum("nab,nb,ncb->nac", V, ev, V.conj())
+    ref = np.asarray(basis.state_to_modelparams(rho_proj))[:, 1:]
+    np.testing.assert_allclose(out[~untouched], ref[~untouched], atol=3e-5)
+
+
 def test_resampler_enforces_strict_canonicalize():
     """States valid within psd_tol but outside the strict PSD cone must be
     projected by the post-resample canonicalize (the resampler previously

@@ -68,6 +68,12 @@ class Distribution(Module):
         """Draw ``n`` samples, returned as a ``(n, n_rvs)`` array."""
         raise NotImplementedError
 
+    # Optional protocol (consumed by SMC rejuvenation and BCRB tracking;
+    # see qinfer_tpu.rejuvenation.resolve_prior_log_pdf):
+    #   log_pdf(x: (n, n_rvs)) -> (n,)   log density (constants optional)
+    #   grad_log_pdf(x)        -> (n, n_rvs)
+    #   is_flat_on_support     -> bool   density constant on its support
+
 
 class SingleSampleMixin:
     """Mixin implementing batched ``sample`` in terms of ``_sample_one(key)``.
@@ -115,6 +121,16 @@ class UniformDistribution(Distribution):
     def grad_log_pdf(self, x):
         """∇ log p = 0 inside the box (used by BCRB trackers)."""
         return jnp.zeros_like(jnp.asarray(x))
+
+    is_flat_on_support = True
+
+    def log_pdf(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x))
+        lo = self.ranges[:, 0]
+        hi = self.ranges[:, 1]
+        inside = jnp.all((x >= lo) & (x <= hi), axis=-1)
+        log_vol = jnp.sum(jnp.log(hi - lo))
+        return jnp.where(inside, -log_vol, -jnp.inf)
 
 
 class DiscreteUniformDistribution(Distribution):
@@ -203,6 +219,15 @@ class NormalDistribution(Distribution):
     def grad_log_pdf(self, x):
         return -(jnp.asarray(x) - self.mean) / self.var
 
+    def log_pdf(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x))[:, 0]
+        lp = (-0.5 * (x - self.mean) ** 2 / self.var
+              - 0.5 * jnp.log(2 * jnp.pi * self.var))
+        if self.trunc is not None:
+            lo, hi = self.trunc
+            lp = jnp.where((x >= lo) & (x <= hi), lp, -jnp.inf)
+        return lp
+
 
 class MultivariateNormalDistribution(Distribution):
     """Multivariate normal with mean vector and covariance matrix.
@@ -226,6 +251,16 @@ class MultivariateNormalDistribution(Distribution):
     def grad_log_pdf(self, x):
         d = jnp.asarray(x) - self.mean
         return -jnp.linalg.solve(self.cov, d[..., :, None])[..., 0]
+
+    def log_pdf(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x))
+        d = x - self.mean
+        chol = jnp.linalg.cholesky(self.cov)
+        z = jax.scipy.linalg.solve_triangular(chol, d.T, lower=True)
+        log_det = jnp.sum(jnp.log(jnp.diagonal(chol)))
+        k = self.n_rvs
+        return (-0.5 * jnp.sum(z * z, axis=0) - log_det
+                - 0.5 * k * jnp.log(2 * jnp.pi))
 
 
 class SlantedNormalDistribution(Distribution):
@@ -271,6 +306,13 @@ class LogNormalDistribution(Distribution):
         z = jax.random.normal(key, (n, 1))
         return jnp.exp(self.mu + self.sigma * z)
 
+    def log_pdf(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x))[:, 0]
+        safe = jnp.clip(x, EPS, None)
+        lp = (-0.5 * ((jnp.log(safe) - self.mu) / self.sigma) ** 2
+              - jnp.log(safe * self.sigma) - 0.5 * jnp.log(2 * jnp.pi))
+        return jnp.where(x > 0, lp, -jnp.inf)
+
 
 # ---------------------------------------------------------------------------
 # Beta / Gamma family
@@ -302,6 +344,10 @@ class BetaDistribution(Distribution):
 
     def sample(self, key, n=1):
         return jax.random.beta(key, self.alpha, self.beta, (n, 1))
+
+    def log_pdf(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x))[:, 0]
+        return jax.scipy.stats.beta.logpdf(x, self.alpha, self.beta)
 
 
 class BetaBinomialDistribution(Distribution):
@@ -347,6 +393,11 @@ class GammaDistribution(Distribution):
 
     def sample(self, key, n=1):
         return jax.random.gamma(key, self.alpha, (n, 1)) / self.beta
+
+    def log_pdf(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x))[:, 0]
+        return jax.scipy.stats.gamma.logpdf(x, self.alpha,
+                                            scale=1.0 / self.beta)
 
 
 class InterpolatedUnivariateDistribution(Distribution):
@@ -406,6 +457,17 @@ class ProductDistribution(Distribution):
         keys = jax.random.split(key, len(self.factors))
         parts = [f.sample(k, n) for f, k in zip(self.factors, keys)]
         return jnp.concatenate(parts, axis=1)
+
+    def log_pdf(self, x):
+        """Sum of factor log-densities over their coordinate slices
+        (requires every factor to implement ``log_pdf``)."""
+        x = jnp.atleast_2d(jnp.asarray(x))
+        lp = jnp.zeros(x.shape[0], dtype=x.dtype)
+        off = 0
+        for f in self.factors:
+            lp = lp + f.log_pdf(x[:, off:off + f.n_rvs])
+            off += f.n_rvs
+        return lp
 
 
 class MixtureDistribution(Distribution):
@@ -480,6 +542,14 @@ class PostselectedDistribution(Distribution):
     @property
     def n_rvs(self):
         return self.distribution.n_rvs
+
+    def log_pdf(self, x):
+        """Base log-density restricted to the model's validity region —
+        unnormalized (the acceptance-mass constant is omitted; constant
+        shifts cancel in every consumer: MH ratios and BCRB gradients)."""
+        x = jnp.atleast_2d(jnp.asarray(x))
+        lp = self.distribution.log_pdf(x)
+        return jnp.where(self.model.are_models_valid(x), lp, -jnp.inf)
 
     def sample(self, key, n=1):
         def body(carry, k):

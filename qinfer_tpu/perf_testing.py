@@ -209,7 +209,8 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
                          resample_thresh=0.5, resampler=None, seed=0,
                          mesh=None, axis_name="trials",
                          zero_weight_thresh=1e-10,
-                         heuristic_factory=None):
+                         heuristic_factory=None,
+                         n_mcmc_moves=0, mcmc_proposal_scale=2.38):
     """Trial-parallel fully-compiled adaptive inference.
 
     The TPU-native replacement for the reference's ipyparallel trial
@@ -257,11 +258,30 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
         true_mps = prior.sample(k_true, 1)
         return state, true_mps
 
+    if n_mcmc_moves > 0 and bool(model.is_time_dependent):
+        raise ValueError("n_mcmc_moves > 0 is incompatible with "
+                         "time-dependent models (see SMCUpdater)")
+
     def run_trial(trial_key):
         state, true_mps = make_trial(trial_key)
 
+        if n_mcmc_moves > 0:
+            # record buffers for rejuvenation, sized/typed at trace time
+            eps_aval = jax.eval_shape(
+                lambda k: heuristic.propose(
+                    k, state.weights, state.locations, 0), trial_key)
+            out_aval = jax.eval_shape(
+                lambda k, e: jnp.asarray(model.simulate_experiment(
+                    k, true_mps, e)).reshape(-1)[0], trial_key, eps_aval)
+            out_buf0 = jnp.zeros((n_exp,), out_aval.dtype)
+            eps_buf0 = jax.tree_util.tree_map(
+                lambda a: jnp.zeros((n_exp,) + a.shape[1:], a.dtype),
+                eps_aval)
+        else:
+            out_buf0, eps_buf0 = jnp.zeros((0,)), {}
+
         def step(carry, idx):
-            st, key, true = carry
+            st, key, true, out_buf, eps_buf = carry
             key, k_h, k_sim = jax.random.split(key, 3)
             eps = heuristic.propose(k_h, st.weights, st.locations, idx)
             outcome = model.simulate_experiment(k_sim, true, eps)
@@ -273,14 +293,33 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
             new_st, _, _ = _update_step_impl(
                 model, resampler, st, outcome, eps,
                 resample_thresh, zero_thresh, check_resample=True)
+            if n_mcmc_moves > 0:
+                from .rejuvenation import mcmc_rejuvenate
+
+                out_buf = out_buf.at[idx].set(outcome)
+                eps_buf = jax.tree_util.tree_map(
+                    lambda b, leaf: b.at[idx].set(leaf[0]), eps_buf, eps)
+
+                def move(s):
+                    k2, sub = jax.random.split(s.key)
+                    x, _ = mcmc_rejuvenate(
+                        model, prior, sub, s.locations, out_buf, eps_buf,
+                        jnp.arange(n_exp) <= idx, n_mcmc_moves,
+                        mcmc_proposal_scale)
+                    return s._replace(locations=x, key=k2)
+
+                new_st = jax.lax.cond(new_st.just_resampled, move,
+                                      lambda s: s, new_st)
             est = new_st.weights @ new_st.locations
             delta = est - true[0]
             loss = jnp.sum(Q * delta * delta)
             ess = 1.0 / jnp.sum(new_st.weights ** 2)
-            return (new_st, key, true), dict(loss=loss, ess=ess, est=est)
+            return (new_st, key, true, out_buf, eps_buf), dict(
+                loss=loss, ess=ess, est=est)
 
-        (final, _, final_true), rec = jax.lax.scan(
-            step, (state, jax.random.fold_in(trial_key, 1), true_mps),
+        (final, _, final_true, _, _), rec = jax.lax.scan(
+            step, (state, jax.random.fold_in(trial_key, 1), true_mps,
+                   out_buf0, eps_buf0),
             jnp.arange(n_exp))
         rec["true_mps"] = final_true[0]
         rec["final_weights"] = final.weights

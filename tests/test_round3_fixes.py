@@ -227,3 +227,55 @@ def test_candidate_chunking_matches_unchunked():
             np.asarray(u.expected_information_gain(
                 eps, candidate_chunk=chunk)),
             full_g, rtol=2e-5, atol=1e-6)
+
+
+def test_lane_jacobi_kernel_matches_jnp_formulation():
+    """The Pallas lane-parallel Jacobi (particles on vector lanes, all
+    rotation rounds fused in-register) must apply the SAME rotation
+    schedule as the jnp formulation it replaces on TPU — same pairs,
+    same plane arithmetic — so eigenvalues/vectors agree to f32
+    reassociation noise. Uses small d/sweeps: the full d=8 unroll stalls
+    XLA:CPU's algebraic simplifier in interpret mode (the real target is
+    Mosaic, validated on-chip in benchmarks/)."""
+    from qinfer_tpu.ops import jacobi as lane
+    from qinfer_tpu.tomography import bases
+
+    # the two modules must keep the same round-robin schedule
+    assert lane._round_robin_rounds(8) == bases._round_robin_rounds(8)
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(300, 4, 4)).astype(np.float32)
+    a = (a + a.transpose(0, 2, 1)) / 2
+    ev, V = lane.jacobi_eigh_lanes(jnp.asarray(a), sweeps=3,
+                                   interpret=True)
+    ev_r, V_r = bases.batched_jacobi_eigh_small(jnp.asarray(a), sweeps=3)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(ev_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(V), np.asarray(V_r), atol=1e-5)
+    # and the padding path (n not a multiple of 1024) stays exact
+    recon = np.einsum("nab,nb,ncb->nac", np.asarray(V), np.asarray(ev),
+                      np.asarray(V))
+    assert np.abs(recon - a).max() < 1e-4
+
+
+def test_lane_jacobi_fused_projection_matches_host():
+    """jacobi_project_lanes (in-kernel clip + trace renorm + rebuild)
+    must match the host eigh-based PSD projection, stay exactly
+    symmetric, and hit the target trace on matrices with positive
+    mass."""
+    from qinfer_tpu.ops.jacobi import jacobi_project_lanes
+
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(300, 4, 4)).astype(np.float32)
+    a = (a + a.transpose(0, 2, 1)) / 2
+    got = np.asarray(jacobi_project_lanes(jnp.asarray(a), sweeps=4,
+                                          interpret=True))
+    ev, V = np.linalg.eigh(a)
+    ev = np.clip(ev, 0, None)
+    pos = ev.sum(-1) > 1e-3
+    ev = 2.0 * ev / np.clip(ev.sum(-1, keepdims=True), 1e-35, None)
+    want = np.einsum("nab,nb,ncb->nac", V, ev, V)
+    assert np.max(np.abs(got - want)) < 1e-4
+    assert np.array_equal(got, got.transpose(0, 2, 1))
+    np.testing.assert_allclose(got[pos].trace(axis1=1, axis2=2), 2.0,
+                               atol=1e-4)

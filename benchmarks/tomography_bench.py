@@ -32,6 +32,11 @@ def main():
                         "leavers onto the PSD cone (per-particle masked "
                         "batched-Jacobi path — VERDICT r2 weak #5)")
     parser.add_argument("--diffusion-rate", type=float, default=0.003)
+    parser.add_argument("--moves", type=int, default=0,
+                        help="Metropolis rejuvenation moves after every "
+                        "resample (resample-move; qinfer_tpu.rejuvenation)"
+                        " — measures the on-chip cost of n_mcmc_moves on "
+                        "this config (time-independent configs only)")
     args = parser.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -147,8 +152,27 @@ def main():
     k_prior, k_run = jax.random.split(jax.random.key(0))
     state = SMCState.initial(prior.sample(k_prior, n), k_run)
 
+    n_moves = int(args.moves)
+    if n_moves > 0 and bool(model.is_time_dependent):
+        raise SystemExit("--moves requires a time-independent config "
+                         "(rejuvenation targets a fixed record posterior)")
+    if n_moves > 0:
+        from qinfer_tpu.rejuvenation import mcmc_rejuvenate
+
+        # fixed-size experiment record carried through the scan: the
+        # rejuvenation target is prior x likelihood of everything
+        # observed so far (masked to the first idx+1 rows)
+        eps0 = propose(jax.random.key(42), state.weights,
+                       state.locations, 0)
+        rec_eps0 = {k: jnp.zeros((args.steps,) + tuple(v.shape[1:]),
+                                 v.dtype) for k, v in eps0.items()}
+        rec_out0 = jnp.zeros((args.steps,), jnp.int32)
+
     def step(carry, idx):
-        st, key, true = carry
+        if n_moves > 0:
+            st, key, true, rec_o, rec_e = carry
+        else:
+            st, key, true = carry
         key, k_h, k_sim = jax.random.split(key, 3)
         eps = propose(k_h, st.weights, st.locations, idx)
         outcome = model.simulate_experiment(k_sim, true, eps)
@@ -159,12 +183,33 @@ def main():
         new_st, _, _ = _update_step_impl(
             model, resampler, st, outcome, eps, 0.5, 1e-10,
             check_resample=True)
+        if n_moves > 0:
+            rec_o = rec_o.at[idx].set(outcome[0].astype(jnp.int32))
+            rec_e = {k: rec_e[k].at[idx].set(eps[k][0])
+                     for k in rec_e}
+
+            def move(s):
+                key2, sub = jax.random.split(s.key)
+                mask = jnp.arange(args.steps) < (idx + 1)
+                x, _ = mcmc_rejuvenate(
+                    model, prior, sub, s.locations, rec_o, rec_e,
+                    mask, n_moves, 2.38)
+                return s._replace(locations=x, key=key2)
+
+            new_st = jax.lax.cond(new_st.just_resampled, move,
+                                  lambda s: s, new_st)
+            return (new_st, key, true, rec_o, rec_e), ()
         return (new_st, key, true), ()
 
     @jax.jit
     def run(st, key):
-        (final, _, true), _ = jax.lax.scan(step, (st, key, true_mps),
-                                           jnp.arange(args.steps))
+        if n_moves > 0:
+            carry0 = (st, key, true_mps, rec_out0, rec_eps0)
+            out, _ = jax.lax.scan(step, carry0, jnp.arange(args.steps))
+            final, _, true = out[0], out[1], out[2]
+        else:
+            (final, _, true), _ = jax.lax.scan(
+                step, (st, key, true_mps), jnp.arange(args.steps))
         return final, true
 
     k0 = jax.random.key(1)
@@ -197,6 +242,7 @@ def main():
                    "tomography_particle_updates_per_s"),
         "n_particles": n,
         "n_steps": args.steps,
+        "mcmc_moves": int(args.moves),
         "value": round(ups, 1),
         "fidelity": round(fidelity, 4),
         "resamples": int(final.resample_count),

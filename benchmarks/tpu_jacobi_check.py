@@ -9,6 +9,7 @@ host-side caching — docs/PERF_NOTES.md rule #8).
 Run sequentially — ONE TPU client at a time (CLAUDE.md rule 2).
 """
 
+import sys
 import time
 
 import jax
@@ -26,14 +27,15 @@ from qinfer_tpu.ops.jacobi import (  # noqa: E402
 def main():
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)
-    n, d = 100_000, 8
+    n, d = (50_000, 16) if "--d16" in sys.argv else (100_000, 8)
     B = rng.normal(size=(n, d, d)).astype(np.float32)
     A = (B + B.transpose(0, 2, 1)) / 2
     # adversarial rows: identity, rank-deficient, clustered/negative
     A[0] = np.eye(d)
-    A[1] = np.diag([1.0, 1, 1, 1, 0, 0, 0, 0])
+    A[1] = np.diag([1.0] * (d // 2) + [0.0] * (d // 2))
     Q, _ = np.linalg.qr(rng.normal(size=(d, d)))
-    A[2] = Q @ np.diag([2, 2, 1e-7, 1e-7, -1e-3, -1e-3, 0.5, 0.5]) @ Q.T
+    spec = np.resize([2, 2, 1e-7, 1e-7, -1e-3, -1e-3, 0.5, 0.5], d)
+    A[2] = Q @ np.diag(spec) @ Q.T
     A[2] = ((A[2] + A[2].T) / 2).astype(np.float32)
     Aj = jnp.asarray(A)
 

@@ -150,7 +150,7 @@ def batched_jacobi_eigh_small(a, sweeps=6):
         ev, V = batched_jacobi_eigh_small(a_p, sweeps)
         return ev[..., :d], V[..., :d, :d]
 
-    if jax.default_backend() == "tpu" and d <= 8:
+    if jax.default_backend() == "tpu" and d <= 16:
         # Pallas lane-parallel kernel: particles on the vector lanes,
         # ALL rotation rounds fused between one HBM read and one HBM
         # write. The jnp formulation below costs ~sweeps·(d−1) full

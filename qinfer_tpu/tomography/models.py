@@ -174,7 +174,7 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
 
         def project(args):
             mp, m, invalid = args
-            if jax.default_backend() == "tpu" and m.shape[-1] <= 8:
+            if jax.default_backend() == "tpu" and m.shape[-1] <= 16:
                 # fully-fused Pallas projection (eigh + clip + trace
                 # renorm + rebuild in ONE HBM read/write): the hot op of
                 # DiffusiveTomographyModel, where this projection runs

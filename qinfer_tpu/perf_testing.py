@@ -329,6 +329,16 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
     trial_keys = jax.random.split(jax.random.key(seed), n_trials)
 
     if mesh is None:
+        if n_mcmc_moves > 0:
+            import warnings
+
+            warnings.warn(
+                "perf_test_scan_batch(n_mcmc_moves>0) without a mesh "
+                "vmaps the trials, which lowers the rejuvenation "
+                "lax.cond to a select: the full MCMC record pass runs "
+                "on EVERY step of every trial, resampled or not "
+                "(~n_exp-fold extra work). Pass a mesh to shard trials "
+                "and keep the cond a real branch.")
         return jax.jit(jax.vmap(run_trial))(trial_keys)
 
     from jax.sharding import PartitionSpec as P

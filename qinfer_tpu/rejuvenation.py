@@ -56,6 +56,23 @@ def resolve_prior_log_pdf(prior):
     """
     fn = getattr(prior, "log_pdf", None)
     if fn is not None:
+        # Composite priors (Product/Postselected) define log_pdf
+        # unconditionally and only fail when a FACTOR lacks it — deep
+        # inside jit tracing, as an AttributeError mid-run. Dry-trace the
+        # density abstractly here so the documented ValueError fires at
+        # construction instead (anything that cannot trace here cannot
+        # run inside mcmc_rejuvenate's jitted scan either).
+        n_rvs = int(getattr(prior, "n_rvs", 0) or 0)
+        if n_rvs > 0:
+            try:
+                jax.eval_shape(fn, jnp.zeros((1, n_rvs), jnp.float32))
+            except Exception as exc:
+                raise ValueError(
+                    f"prior {type(prior).__name__}.log_pdf cannot be "
+                    "traced (a composite factor without log_pdf, or a "
+                    "non-jittable density); MCMC rejuvenation "
+                    "(n_mcmc_moves > 0) needs a tractable prior density"
+                ) from exc
         return fn
     if getattr(prior, "is_flat_on_support", False):
         return lambda x: jnp.zeros(x.shape[0], dtype=x.dtype)

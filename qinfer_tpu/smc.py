@@ -333,7 +333,7 @@ def _update_step_eager(model, resampler, state, outcome, eps,
 
 
 @partial(jax.jit, static_argnames=("resample_interval", "check_resample",
-                                   "n_mcmc_moves", "n_past"))
+                                   "n_mcmc_moves"))
 def _batch_update(model, resampler, state, outcomes, eps_batch,
                   resample_thresh, zero_weight_thresh,
                   resample_interval=5, check_resample=True,
@@ -349,8 +349,10 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
     With ``n_mcmc_moves > 0``, every resample is followed by that many
     Metropolis rejuvenation moves targeting prior × record likelihood
     (:mod:`qinfer_tpu.rejuvenation`); ``rec_outcomes`` / ``rec_eps`` is the
-    FULL record — ``n_past`` pre-batch experiments then this batch — and
-    the step mask exposes exactly the experiments observed so far.
+    FULL record — ``n_past`` pre-batch experiments then this batch, padded
+    to a power of two by the caller so successive calls retrace only
+    O(log T) times — and the step mask (``n_past`` is TRACED, never a
+    compile key) exposes exactly the experiments observed so far.
     """
     check_now = check_resample and resample_interval > 0
 
@@ -775,9 +777,21 @@ class SMCUpdater:
                            for k in eps}
             else:
                 rec_outcomes, rec_eps = outcomes, eps
+            # pad the record buffer to a power of two (masked rows are
+            # never exposed) so repeated batch_update calls key the jit
+            # cache on O(log T) distinct shapes, not every record length
+            total = int(rec_outcomes.shape[0])
+            cap = max(8, 1 << (total - 1).bit_length())
+            if cap != total:
+                rec_outcomes = jnp.concatenate(
+                    [rec_outcomes,
+                     jnp.zeros((cap - total,), rec_outcomes.dtype)])
+                rec_eps = {k: jnp.concatenate(
+                    [v, jnp.zeros((cap - total,) + v.shape[1:], v.dtype)])
+                    for k, v in rec_eps.items()}
             move_kwargs = dict(
                 prior=self.prior, rec_outcomes=rec_outcomes,
-                rec_eps=rec_eps, n_past=n_past,
+                rec_eps=rec_eps, n_past=jnp.asarray(n_past, jnp.int32),
                 n_mcmc_moves=self.n_mcmc_moves,
                 proposal_scale=self.mcmc_proposal_scale)
         new_state, log_norms = _batch_update(
@@ -809,9 +823,20 @@ class SMCUpdater:
                     outcomes[i], expparams_at(eps, i),
                     check_resample=check_now,
                     resample_gate=(i % interval == interval - 1))
-            raise AssertionError(
+            # The scan detected a zero event but the key-faithful replay —
+            # a DIFFERENT XLA program whose reductions can differ by ulps —
+            # did not reproduce it at any step (possible when a norm or
+            # resample decision sits exactly on a float boundary). The
+            # detection stands: honor the 'error' contract, with the whole
+            # replayed batch committed and a note that the failing step
+            # could not be localized.
+            warnings.warn(
                 "batch_update detected a zero-weight event but the "
-                "key-faithful replay did not reproduce it")
+                "key-faithful replay did not reproduce it at any single "
+                "step (float-boundary divergence between the scanned and "
+                "eager programs); the full batch was committed",
+                ZeroWeightWarning)
+            self._handle_zero_weight()
         if zero_events > 0:
             self._handle_zero_weight()
         self._warn_resampler_fallback(
@@ -1144,8 +1169,9 @@ class SMCUpdater:
         eps_chunks = jax.tree_util.tree_map(
             lambda a: a.reshape((-1, c) + a.shape[1:]), eps_p)
         # the outcome grid/mask may be candidate-dependent (padded
-        # binomial counts) — rebuild per chunk at the padded shapes
-        out_c, mask_c = self._outcome_grid(
+        # binomial counts) — the grid's shape is chunk-invariant (take
+        # chunk 0's), but the MASK is rebuilt per chunk inside the map
+        out_c, _ = self._outcome_grid(
             jax.tree_util.tree_map(lambda a: a[0], eps_chunks))
         scores = jax.lax.map(
             lambda ec: score_fn(self.model, w, x, out_c,

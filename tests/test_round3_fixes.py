@@ -279,3 +279,48 @@ def test_lane_jacobi_fused_projection_matches_host():
     assert np.array_equal(got, got.transpose(0, 2, 1))
     np.testing.assert_allclose(got[pos].trace(axis1=1, axis2=2), 2.0,
                                atol=1e-4)
+
+
+def test_rejuvenation_composite_prior_fails_at_construction():
+    """A ProductDistribution whose factor lacks log_pdf must raise the
+    documented ValueError when n_mcmc_moves > 0 is requested — at
+    CONSTRUCTION, not as an AttributeError mid-run inside jit tracing
+    (review finding: composite priors define log_pdf unconditionally)."""
+    import pytest
+    import qinfer_tpu as q
+
+    prior = q.ProductDistribution(
+        q.UniformDistribution([[0.0, 1.0]]),
+        q.SlantedNormalDistribution(ranges=[[0.0, 1.0]], weight=0.01))
+    model = q.SimplePrecessionModel()
+    with pytest.raises(ValueError, match="tractable prior"):
+        q.SMCUpdater(model, 64, prior, n_mcmc_moves=2)
+    # sanity: a tractable composite still constructs
+    ok_prior = q.ProductDistribution(
+        q.UniformDistribution([[0.0, 1.0]]),
+        q.NormalDistribution(0.5, 0.01))
+    u = q.SMCUpdater(q.MultiCosineModel(2), 64, ok_prior, n_mcmc_moves=2)
+    assert u.n_mcmc_moves == 2
+
+
+def test_batch_update_rejuvenation_does_not_retrace_per_record_length():
+    """Successive batch_update calls with n_mcmc_moves > 0 must key the
+    scan's jit cache on O(log T) padded record shapes, not every record
+    length (review finding: static n_past + exact-length buffers meant
+    one TPU-scale recompile per call)."""
+    import qinfer_tpu as q
+    from qinfer_tpu import smc as smc_mod
+
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u = q.SMCUpdater(model, 128, prior, seed=0, n_mcmc_moves=1)
+    rng = np.random.default_rng(0)
+    before = smc_mod._batch_update._cache_size()
+    for call in range(4):
+        ts = rng.uniform(1.0, 10.0, 6).astype(np.float32)
+        outs = rng.integers(0, 2, 6)
+        u.batch_update(jnp.asarray(outs), {"t": jnp.asarray(ts)},
+                       resample_interval=2)
+    grown = smc_mod._batch_update._cache_size() - before
+    # records of 6/12/18/24 pad to 8/16/32/32 -> at most 3 compilations
+    assert grown <= 3, f"batch scan retraced {grown} times in 4 calls"

@@ -387,6 +387,14 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
     return final, norms
 
 
+@jax.jit
+def _sorted_by_weight(w, x):
+    """Particles sorted by weight descending, as ONE compiled program
+    (one device dispatch for region queries; see est_credible_region)."""
+    order = jnp.argsort(-w)
+    return w[order], x[order]
+
+
 def _likelihood_grid(model, outcomes, locations, eps, key):
     """Likelihood table for a scorer; threads a PRNG key into Monte-Carlo
     likelihoods (``wants_likelihood_key``) so repeated design calls see
@@ -1215,16 +1223,19 @@ class SMCUpdater:
         x = self._state.locations
         if modelparam_slice is not None:
             x = x[:, modelparam_slice]
-        order = jnp.argsort(-w)
-        sorted_w = w[order]
-        cmass = jnp.cumsum(sorted_w)
-        # index of first particle where cumulative mass >= level
-        k = int(jnp.searchsorted(cmass, level)) + 1
+        # ONE device dispatch (argsort + gathers + cumsum fused in a
+        # single jitted program), then slice host-side: the unjitted
+        # op-by-op version cost ~6 dispatches each paying tunnel latency
+        # and first-use compile on the remote-TPU backend (measured 13 s
+        # per region query at 50k particles; this form is sub-second)
+        sorted_w, x_sorted = _sorted_by_weight(w, x)
+        cmass = np.cumsum(np.asarray(sorted_w, dtype=np.float64))
+        k = int(np.searchsorted(cmass, level)) + 1
         k = min(k, w.shape[0])
-        inside = np.asarray(x[order[:k]])
+        x_sorted = np.asarray(x_sorted)
+        inside = x_sorted[:k]
         if return_outside:
-            outside = np.asarray(x[order[k:]])
-            return inside, outside
+            return inside, x_sorted[k:]
         return inside
 
     def region_est_hull(self, level=0.95, modelparam_slice=None):

@@ -388,6 +388,13 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
 
 
 @jax.jit
+def _entropy(w):
+    """−Σ wᵢ log wᵢ as one compiled program (rule #9: one dispatch)."""
+    return -jnp.sum(jnp.where(w > 0, w * jnp.log(jnp.clip(w, EPS, None)),
+                              0.0))
+
+
+@jax.jit
 def _sorted_by_weight(w, x):
     """Particles sorted by weight descending, as ONE compiled program
     (one device dispatch for region queries; see est_credible_region)."""
@@ -1010,9 +1017,7 @@ class SMCUpdater:
 
         Reference parity: ``SMCUpdater.est_entropy``.
         """
-        w = self._state.weights
-        return -jnp.sum(jnp.where(w > 0, w * jnp.log(jnp.clip(w, EPS, None)),
-                                  0.0))
+        return _entropy(self._state.weights)
 
     def est_kl_divergence(self, other, kernel_bandwidth=None):
         """KL divergence D(self ‖ other) between two particle posteriors,

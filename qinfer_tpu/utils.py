@@ -150,6 +150,7 @@ def particle_meanfn(weights, locations, fn=None):
     )
 
 
+@jax.jit
 def particle_covariance_mtx(weights, locations):
     """Weighted covariance  Σᵢ wᵢ (xᵢ−μ)(xᵢ−μ)ᵀ  of a particle cloud.
 
@@ -157,6 +158,8 @@ def particle_covariance_mtx(weights, locations):
     definition: plain weighted second central moment, no Bessel correction).
 
     Implemented as  Xᵀ diag(w) X − μμᵀ  in centred form — one MXU matmul.
+    Jitted: host-facing callers (``est_covariance_mtx``) otherwise pay one
+    remote-backend dispatch per op (PERF_NOTES rule #9).
     """
     weights = jnp.asarray(weights)
     locations = jnp.asarray(locations)

@@ -210,7 +210,8 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
                          mesh=None, axis_name="trials",
                          zero_weight_thresh=1e-10,
                          heuristic_factory=None,
-                         n_mcmc_moves=0, mcmc_proposal_scale=2.38):
+                         n_mcmc_moves=0, mcmc_proposal_scale=2.38,
+                         return_runner=False):
     """Trial-parallel fully-compiled adaptive inference.
 
     The TPU-native replacement for the reference's ipyparallel trial
@@ -228,6 +229,10 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
       per-device runtime decision), so per-trial cost matches the
       single-trial path. ``n_trials`` must divide by the mesh size.
 
+    :param return_runner: return ``(runner, trial_keys)`` instead of
+        executing — ``runner(trial_keys)`` is the jitted callable, so
+        benchmarks can compile once and time warm re-runs without the
+        retrace a fresh ``perf_test_scan_batch`` call would pay.
     :return: dict of stacked per-trial records
         ``{loss (T, n_exp), ess (T, n_exp), est (T, n_exp, d),
         true_mps (T, d), final_weights, final_locations}``.
@@ -339,7 +344,10 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
                 "on EVERY step of every trial, resampled or not "
                 "(~n_exp-fold extra work). Pass a mesh to shard trials "
                 "and keep the cond a real branch.")
-        return jax.jit(jax.vmap(run_trial))(trial_keys)
+        runner = jax.jit(jax.vmap(run_trial))
+        if return_runner:
+            return runner, trial_keys
+        return runner(trial_keys)
 
     from jax.sharding import PartitionSpec as P
 
@@ -357,4 +365,7 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
         in_specs=P(axis_name),
         out_specs=P(axis_name),
         check_vma=False)
-    return jax.jit(mapped)(trial_keys)
+    runner = jax.jit(mapped)
+    if return_runner:
+        return runner, trial_keys
+    return runner(trial_keys)

@@ -162,6 +162,14 @@ def test_perf_test_scan_batch_vmap_and_shard():
     with pytest.raises(ValueError):
         perf_test_scan_batch(model, 256, prior, 5, n_trials=3, mesh=mesh)
 
+    # return_runner: same jitted computation, caller-controlled execution
+    # (benchmarks/trials_bench.py compiles once and times warm re-runs)
+    runner, keys = perf_test_scan_batch(model, 256, prior, 25, n_trials=4,
+                                        seed=0, return_runner=True)
+    rec3 = runner(keys)
+    np.testing.assert_allclose(np.asarray(rec3["loss"]),
+                               np.asarray(rec["loss"]))
+
 
 def test_pgh_never_collides_on_concentrated_posterior():
     """Code-review regression: with nearly all weight on ONE particle, the

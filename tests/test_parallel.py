@@ -124,6 +124,29 @@ def test_sharded_experiment_design_scores():
     np.testing.assert_allclose(risk_sh, risk_ser, rtol=2e-3, atol=1e-6)
 
 
+def test_sharded_rejuvenation_runs_and_preserves_sharding():
+    """Resample-move rejuvenation with the particle axis sharded: the
+    record-likelihood pass and the MH moves must cross the sharding (XLA
+    auto-collectives for the ensemble covariance / acceptance reductions)
+    and hand back a sharded, statistically-correct ensemble."""
+    import scipy.stats as st
+
+    pm = ParticleMesh()
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=20)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    counts = jnp.asarray([14, 15, 13, 14, 14], jnp.int32)
+    eps = {"exp_num": jnp.zeros((5,), jnp.int32),
+           "n_meas": jnp.full((5,), 20, jnp.int32)}
+    u = q.SMCUpdater(model, 4000, prior, seed=5, n_mcmc_moves=5,
+                     resample_thresh=0.9, sharding=pm.particle_sharding)
+    u.batch_update(counts, eps, resample_interval=1)
+    ref = st.beta(71, 31)
+    assert abs(float(u.est_mean()[0]) - ref.mean()) < 0.02
+    assert abs(float(jnp.sqrt(u.est_covariance_mtx()[0, 0]))
+               - ref.std()) < 0.015
+    assert len(u.particle_locations.sharding.device_set) == 8
+
+
 class MockDirectView:
     """Serial stand-in for an ipyparallel DirectView (the reference's test
     pattern)."""

@@ -26,6 +26,11 @@ def main():
                         help="dim-4 Choi-state process tomography (the "
                         "general-dim path: Cholesky validity + embedded-"
                         "eigh PSD projection; d=16 params)")
+    parser.add_argument("--process-qubits", type=int, default=1,
+                        help="system size for --process (2 = two-qubit "
+                        "channels: 255-parameter dim-16 Choi states, "
+                        "embedded 32x32 — beyond the lane-Jacobi gate, "
+                        "exercising the jnp fallback paths)")
     parser.add_argument("--diffusive", action="store_true",
                         help="dim-4 DIFFUSIVE state tomography: every "
                         "step diffuses all particles and re-projects "
@@ -64,39 +69,49 @@ def main():
     n = args.particles
 
     if args.process:
+        from functools import reduce
+
         from qinfer_tpu.tomography.models import ProcessTomographyModel
 
-        b1 = tomo.pauli_basis(1)
-        b2 = tomo.pauli_basis(2)
+        nq = int(args.process_qubits)
+        dd = 2 ** nq
+        b1 = tomo.pauli_basis(nq)
+        b2 = tomo.pauli_basis(2 * nq)
         model = ProcessTomographyModel(b2, b1)
         prior = tomo.BCSZChoiDistribution(b2)
 
         # true channel: depolarizing at rate 0.25 (host-side complex)
         p_dep = 0.25
-        J_id = np.zeros((4, 4), dtype=np.complex64)
-        for mm in range(2):
-            for nn in range(2):
-                E = np.zeros((2, 2), dtype=np.complex64)
+        J_id = np.zeros((dd * dd, dd * dd), dtype=np.complex64)
+        for mm in range(dd):
+            for nn in range(dd):
+                E = np.zeros((dd, dd), dtype=np.complex64)
                 E[mm, nn] = 1
                 J_id += np.kron(E, E)
         true_rho = ((1 - p_dep) * J_id
-                    + p_dep * np.kron(np.eye(2), np.eye(2) / 2)) / 2
+                    + p_dep * np.kron(np.eye(dd), np.eye(dd) / dd)) / dd
         true_mps = jnp.asarray(np.asarray(
             model.states_to_modelparams(true_rho[None])))
 
-        # tetrahedral-ish fiducials as real coords (device-safe)
-        kets = np.asarray(
+        # tetrahedral-ish single-qubit fiducials, tensored over the system
+        # qubits (4^nq informationally-complete product preparations /
+        # measurement effects), as real coords (device-safe)
+        kets1 = np.asarray(
             [[1, 0], [0, 1],
              [1 / np.sqrt(2), 1 / np.sqrt(2)],
              [1 / np.sqrt(2), 1j / np.sqrt(2)]], dtype=np.complex64)
+        kets = [reduce(np.kron, combo)
+                for combo in __import__("itertools").product(kets1,
+                                                             repeat=nq)]
         fid = jnp.asarray(np.stack([
             np.asarray(b1.state_to_modelparams(np.outer(k, k.conj())))
-            for k in kets]), dtype=jnp.float32)  # (4, 4)
+            for k in kets]), dtype=jnp.float32)  # (4^nq, dd^2)
+        n_fid = fid.shape[0]
 
         def propose(key, weights, locations, idx):
             k1, k2 = jax.random.split(key)
-            return {"prep": fid[jax.random.randint(k1, (), 0, 4)][None],
-                    "meas": fid[jax.random.randint(k2, (), 0, 4)][None]}
+            return {"prep": fid[jax.random.randint(k1, (), 0, n_fid)][None],
+                    "meas": fid[jax.random.randint(k2, (), 0, n_fid)][None]}
     elif args.diffusive:
         b2 = tomo.pauli_basis(2)
         model = tomo.DiffusiveTomographyModel(

@@ -442,3 +442,59 @@ def test_general_dim_canonicalize_projects_tol_valid_states():
     mp2 = jnp.asarray(np.asarray(model.states_to_modelparams(rho2[None])))
     np.testing.assert_array_equal(np.asarray(model.canonicalize(mp2)),
                                   np.asarray(mp2))
+
+
+def test_process_tomography_two_qubit_channel():
+    """Multi-qubit channels: dim-16 Choi states (255 parameters, embedded
+    32x32 — beyond the lane-Jacobi gate, exercising the general jnp
+    fallback paths end to end). Reference parity:
+    ``tomography/models.py::ProcessTomographyModel`` is dimension-generic."""
+    from qinfer_tpu.tomography.models import ProcessTomographyModel
+
+    b1 = tomo.pauli_basis(2)   # system: dim 4
+    b2 = tomo.pauli_basis(4)   # Choi space: dim 16
+    m = ProcessTomographyModel(b2, b1)
+    assert m.n_modelparams == 255
+
+    # identity-channel Choi state on the doubled space
+    dd = 4
+    J = np.zeros((dd * dd, dd * dd), dtype=np.complex64)
+    for mm in range(dd):
+        for nn in range(dd):
+            E_mn = np.zeros((dd, dd), dtype=np.complex64)
+            E_mn[mm, nn] = 1
+            J += np.kron(E_mn, E_mn)
+    id_mps = m.states_to_modelparams(jnp.asarray(J / dd)[None])
+    assert bool(m.are_models_valid(id_mps)[0])
+
+    # the identity channel reproduces its input state
+    psi = np.array([1, 0, 0, 1], dtype=np.complex64) / np.sqrt(2)
+    rho_in = (0.8 * np.outer(psi, psi.conj())
+              + 0.2 * np.eye(4, dtype=np.complex64) / 4)
+    out = np.asarray(m.apply_channel(id_mps, jnp.asarray(rho_in)))[0]
+    np.testing.assert_allclose(out, rho_in, atol=1e-4)
+
+    # Born rule through the likelihood: Pr(0) = Tr(E rho_in)
+    E = np.zeros((4, 4), dtype=np.complex64)
+    E[0, 0] = 1
+    eps = {"prep": jnp.asarray(b1.state_to_modelparams(
+               jnp.asarray(rho_in)))[None, :],
+           "meas": jnp.asarray(b1.state_to_modelparams(
+               jnp.asarray(E)))[None, :]}
+    L = float(m.likelihood(jnp.array([0]), id_mps, eps)[0, 0, 0])
+    assert np.isclose(L, float(np.real(np.trace(E @ rho_in))), atol=1e-4)
+
+    # BCSZ prior samples valid dim-16 Choi states; an SMC update runs and
+    # canonicalize (embedded d=32: the jnp eigh fallback) restores the
+    # PSD cone after a deliberate kick
+    prior = tomo.BCSZChoiDistribution(b2)
+    u = q.SMCUpdater(m, 256, prior, seed=0)
+    assert bool(np.asarray(m.are_models_valid(u.particle_locations)).all())
+    o = m.simulate_experiment(jax.random.key(3), id_mps, eps)
+    u.update(o, eps)
+    assert np.isfinite(np.asarray(u.particle_weights)).all()
+
+    kicked = u.particle_locations + 0.05 * jax.random.normal(
+        jax.random.key(5), u.particle_locations.shape)
+    proj = m.canonicalize(kicked)
+    assert bool(np.asarray(m.are_models_valid(proj)).all())

@@ -21,13 +21,23 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 from qinfer_tpu.ops.jacobi import (  # noqa: E402
     jacobi_eigh_lanes,
     jacobi_project_lanes,
+    jacobi_project_lanes_looped,
 )
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)
-    n, d = (50_000, 16) if "--d16" in sys.argv else (100_000, 8)
+    if "--d32" in sys.argv:
+        # the LOOPED kernel (schedule in SMEM): embedded dim-16 Choi
+        # states — two-qubit channels. jnp.linalg.eigh at this shape
+        # measures 3.63 s/call on the v5e (probe_d32.py); K=100 of it
+        # in one program faults the device.
+        n, d = 50_000, 32
+    else:
+        n, d = (50_000, 16) if "--d16" in sys.argv else (100_000, 8)
+    project = (jacobi_project_lanes_looped if d > 16
+               else jacobi_project_lanes)
     B = rng.normal(size=(n, d, d)).astype(np.float32)
     A = (B + B.transpose(0, 2, 1)) / 2
     # adversarial rows: identity, rank-deficient, clustered/negative
@@ -39,17 +49,18 @@ def main():
     A[2] = ((A[2] + A[2].T) / 2).astype(np.float32)
     Aj = jnp.asarray(A)
 
-    ev, V = jacobi_eigh_lanes(Aj)
-    evs = np.sort(np.asarray(ev), -1)
-    want = np.sort(np.linalg.eigvalsh(A.astype(np.float64)), -1)
-    print("eigh: max ev err vs host f64:",
-          float(np.max(np.abs(evs - want))), flush=True)
-    rec = np.einsum("nab,nb,ncb->nac", np.asarray(V), np.asarray(ev),
-                    np.asarray(V))
-    print("eigh: max reconstruction err:",
-          float(np.max(np.abs(rec - A))), flush=True)
+    if d <= 16:
+        ev, V = jacobi_eigh_lanes(Aj)
+        evs = np.sort(np.asarray(ev), -1)
+        want = np.sort(np.linalg.eigvalsh(A.astype(np.float64)), -1)
+        print("eigh: max ev err vs host f64:",
+              float(np.max(np.abs(evs - want))), flush=True)
+        rec = np.einsum("nab,nb,ncb->nac", np.asarray(V), np.asarray(ev),
+                        np.asarray(V))
+        print("eigh: max reconstruction err:",
+              float(np.max(np.abs(rec - A))), flush=True)
 
-    got = np.asarray(jacobi_project_lanes(Aj))
+    got = np.asarray(project(Aj))
     ev64, V64 = np.linalg.eigh(A.astype(np.float64))
     ev64 = np.clip(ev64, 0, None)
     ev64 = 2.0 * ev64 / np.clip(ev64.sum(-1, keepdims=True), 1e-35, None)
@@ -62,7 +73,7 @@ def main():
     @jax.jit
     def run(A0):
         def step(Ac, _):
-            A2 = jacobi_project_lanes(Ac)
+            A2 = project(Ac)
             return A2, jnp.sum(A2[:, 0, 0])
         Af, ys = jax.lax.scan(step, A0, jnp.arange(K))
         return ys.sum() + jnp.sum(Af)

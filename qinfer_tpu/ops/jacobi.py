@@ -35,9 +35,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["jacobi_eigh_lanes", "jacobi_project_lanes"]
+__all__ = ["jacobi_eigh_lanes", "jacobi_project_lanes",
+           "jacobi_project_lanes_looped"]
 
 #: particles per grid step: one (8, 128) vector tile per matrix entry.
 _NB = 1024
@@ -130,6 +133,136 @@ def _make_kernel(d, sweeps, project=False, trace=2.0, eps=1e-35):
                     out_ref[j * d + i] = acc
 
     return kernel_project if project else kernel
+
+
+def _make_kernel_looped(d, sweeps, trace=2.0, eps=1e-35):
+    """Projection kernel for LARGE d (> 16): rotation schedule streamed
+    from SMEM with dynamically-indexed VMEM tiles, ``fori_loop`` over
+    sweeps × rounds — compile size O(d) per round instead of
+    O(sweeps·d³) total, which is what makes embedded d = 32 (dim-16 Choi
+    states: two-qubit channels) compile in seconds rather than tens of
+    minutes. Arithmetic per rotation is IDENTICAL to the unrolled
+    kernel (same plane-update ordering), so the two agree bitwise on
+    shared shapes modulo nothing — the only difference is code shape.
+
+    VMEM budget: in-block (d²·4 KB) is rotated IN PLACE (input blocks
+    are private VMEM copies), the eigenvector accumulator is a scratch
+    of the same size, and the output block holds the rebuilt
+    projection: 3·d²·4 KB = 12 MB at d = 32 — inside the ~16 MB/core
+    VMEM only when the grid is NOT double-buffered, so the wrapper
+    dispatches one grid step per call and ``lax.map``s over 1024-
+    particle chunks.
+    """
+    rounds = _round_robin_rounds(d)
+    n_rounds = len(rounds)
+
+    def kernel(sp_ref, sq_ref, a_ref, out_ref, v_ref):
+        one = jnp.ones_like(a_ref[0])
+        zero = jnp.zeros_like(a_ref[0])
+        for i in range(d):
+            for j in range(d):
+                v_ref[i * d + j] = one if i == j else zero
+
+        def rotation(p, q):
+            apq, app, aqq = a_ref[p * d + q], a_ref[p * d + p], a_ref[q * d + q]
+            small = jnp.abs(apq) <= 1e-30
+            theta = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+            sgn = jnp.where(theta >= 0, 1.0, -1.0)
+            t = sgn / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
+            c = 1.0 / jnp.sqrt(t * t + 1.0)
+            s = t * c
+            c = jnp.where(small, 1.0, c)
+            s = jnp.where(small, 0.0, s)
+            for r in range(d):
+                arp, arq = a_ref[r * d + p], a_ref[r * d + q]
+                a_ref[r * d + p] = c * arp - s * arq
+                a_ref[r * d + q] = s * arp + c * arq
+            for r in range(d):
+                apr, aqr = a_ref[p * d + r], a_ref[q * d + r]
+                a_ref[p * d + r] = c * apr - s * aqr
+                a_ref[q * d + r] = s * apr + c * aqr
+            for r in range(d):
+                vrp, vrq = v_ref[r * d + p], v_ref[r * d + q]
+                v_ref[r * d + p] = c * vrp - s * vrq
+                v_ref[r * d + q] = s * vrp + c * vrq
+
+        def round_body(k, _):
+            for pair in range(d // 2):
+                rotation(sp_ref[k, pair], sq_ref[k, pair])
+            return 0
+
+        jax.lax.fori_loop(
+            0, sweeps * n_rounds,
+            lambda it, c: round_body(it % n_rounds, c), 0)
+
+        # PSD projection epilogue: clip, trace-renormalize, rebuild
+        # P = V diag(ev·scale) Vᵀ. Rows are STATIC (unrolled) with a
+        # fori_loop over the upper-triangle columns; each dot is written
+        # to BOTH (i,j) and (j,i) so the output is exactly symmetric
+        # (independent recomputation differs in the last ulp under FMA
+        # contraction) and the rebuild does half the work. The W =
+        # V·diag row is recomputed per row instead of staged — saves a
+        # third d²-tile VMEM buffer.
+        ev = [jnp.maximum(a_ref[i * d + i], 0.0) for i in range(d)]
+        tr = ev[0]
+        for i in range(1, d):
+            tr = tr + ev[i]
+        scale = trace / jnp.maximum(tr, eps)
+        evs = [ev[b] * scale for b in range(d)]
+
+        for i in range(d):
+            wi = [v_ref[i * d + b] * evs[b] for b in range(d)]
+
+            def out_col(j, _, wi=wi, i=i):
+                acc = wi[0] * v_ref[j * d]
+                for b in range(1, d):
+                    acc = acc + wi[b] * v_ref[j * d + b]
+                out_ref[i * d + j] = acc
+                out_ref[j * d + i] = acc
+                return 0
+
+            jax.lax.fori_loop(i, d, out_col, 0)
+
+    return kernel, np.asarray(rounds)
+
+
+@partial(jax.jit, static_argnames=("sweeps", "trace", "eps", "interpret"))
+def jacobi_project_lanes_looped(a, sweeps=6, trace=2.0, eps=1e-35,
+                                interpret=False):
+    """PSD-cone projection for LARGE small-matrix batches (d > 16, e.g.
+    embedded 32×32 dim-16 Choi states). Same contract as
+    :func:`jacobi_project_lanes`; see :func:`_make_kernel_looped` for
+    why the rotation schedule is looped instead of unrolled. One grid
+    step per ``pallas_call`` (3·d²·4 KB VMEM already at the budget —
+    double-buffering would overflow), ``lax.map`` over chunks."""
+    n, d, _ = a.shape
+    if d % 2:
+        raise ValueError("jacobi_project_lanes_looped requires even d")
+    n_pad = -(-n // _NB) * _NB
+    if n_pad != n:
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype),
+                               (n_pad - n, d, d))
+        a = jnp.concatenate([a, eye])
+    nb = n_pad // _NB
+    a2 = (a.reshape(nb, 8, 128, d * d)
+           .transpose(0, 3, 1, 2))  # (nb, d*d, 8, 128)
+    kernel, rounds = _make_kernel_looped(d, int(sweeps), float(trace),
+                                         float(eps))
+    sp = jnp.asarray(rounds[:, :, 0], jnp.int32)
+    sq = jnp.asarray(rounds[:, :, 1], jnp.int32)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((d * d, 8, 128), lambda: (0, 0, 0))],
+        out_specs=pl.BlockSpec((d * d, 8, 128), lambda: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((d * d, 8, 128), a.dtype),
+        scratch_shapes=[pltpu.VMEM((d * d, 8, 128), a.dtype)],
+        interpret=interpret,
+    )
+    out = jax.lax.map(lambda blk: call(sp, sq, blk), a2)
+    return (out.reshape(nb, d * d, 8, 128).transpose(0, 2, 3, 1)
+               .reshape(n_pad, d, d)[:n])
 
 
 @partial(jax.jit, static_argnames=("sweeps", "interpret"))

@@ -182,6 +182,16 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
                 from ..ops.jacobi import jacobi_project_lanes
 
                 m2 = jacobi_project_lanes(m, trace=2.0, eps=EPS)
+            elif jax.default_backend() == "tpu" and m.shape[-1] <= 32:
+                # LOOPED lane-Jacobi (schedule in SMEM, chunked grid):
+                # embedded d = 32 is dim-16 Choi states — two-qubit
+                # channels. The jnp.linalg.eigh fallback measures
+                # 3.63 s/call at (5e4, 32, 32) on v5e (probe_d32.py) —
+                # it alone was ~100% of the 2-qubit process-tomography
+                # bench wall.
+                from ..ops.jacobi import jacobi_project_lanes_looped
+
+                m2 = jacobi_project_lanes_looped(m, trace=2.0, eps=EPS)
             else:
                 if m.shape[-1] <= 16:
                     ev, V = batched_jacobi_eigh_small(m)

@@ -324,3 +324,25 @@ def test_batch_update_rejuvenation_does_not_retrace_per_record_length():
     grown = smc_mod._batch_update._cache_size() - before
     # records of 6/12/18/24 pad to 8/16/32/32 -> at most 3 compilations
     assert grown <= 3, f"batch scan retraced {grown} times in 4 calls"
+
+
+def test_lane_jacobi_looped_matches_unrolled():
+    """jacobi_project_lanes_looped (schedule in SMEM + dynamic VMEM
+    indexing, for embedded d > 16: dim-16 Choi states / two-qubit
+    channels) runs the SAME rotation arithmetic as the unrolled kernel —
+    agreement to f32 FMA-contraction noise (the two program shapes fuse
+    multiply-adds differently, so exact bit-identity is not expected).
+    d=32 itself is validated on-chip (benchmarks/tpu_jacobi_check.py
+    --d32): interpret-mode emulation at d=32 is minutes-slow."""
+    from qinfer_tpu.ops.jacobi import (jacobi_project_lanes,
+                                       jacobi_project_lanes_looped)
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(300, 8, 8)).astype(np.float32)
+    a = (a + a.transpose(0, 2, 1)) / 2
+    p_u = np.asarray(jacobi_project_lanes(jnp.asarray(a), sweeps=2,
+                                          interpret=True))
+    p_l = np.asarray(jacobi_project_lanes_looped(jnp.asarray(a), sweeps=2,
+                                                 interpret=True))
+    np.testing.assert_allclose(p_l, p_u, atol=2e-5)
+    assert np.array_equal(p_l, p_l.transpose(0, 2, 1))

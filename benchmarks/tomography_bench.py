@@ -41,6 +41,13 @@ def main():
                         help="system size for plain state tomography "
                         "(1 = BASELINE config 4 qubit; 3 = dim-8, the "
                         "embedded-16 lane-Jacobi projection path)")
+    parser.add_argument("--eig", action="store_true",
+                        help="plain state tomography only: choose each "
+                        "measurement by argmax expected information gain "
+                        "over the full Pauli-projector candidate grid "
+                        "(config-5-style adaptive design on the "
+                        "tomography family) instead of uniformly at "
+                        "random")
     parser.add_argument("--moves", type=int, default=0,
                         help="Metropolis rejuvenation moves after every "
                         "resample (resample-move; qinfer_tpu.rejuvenation)"
@@ -176,6 +183,24 @@ def main():
             dtype=jnp.float32)
         propose = heur.propose
 
+        if args.eig:
+            # adaptive design: score EVERY Pauli projector by expected
+            # information gain (the MXU two-matmul contraction,
+            # smc._expected_information_gain) and measure the argmax —
+            # reference parity: expdesign/EIG applied to the tomography
+            # family (config-5 shape on a second model family)
+            from qinfer_tpu.smc import _expected_information_gain
+
+            cand = heur.proj_coords                   # (n_cand, d²)
+            eig_mask = jnp.ones((2, cand.shape[0]), jnp.float32)
+            eig_outcomes = jnp.arange(2)
+
+            def propose(key, weights, locations, idx):
+                scores = _expected_information_gain(
+                    model, weights, locations, eig_outcomes, eig_mask,
+                    {"meas": cand})
+                return {"meas": cand[jnp.argmax(scores)][None]}
+
     k_prior, k_run = jax.random.split(jax.random.key(0))
     state = SMCState.initial(prior.sample(k_prior, n), k_run)
 
@@ -272,6 +297,7 @@ def main():
         "n_qubits": (None if args.process or args.diffusive
                      else int(args.qubits)),
         "mcmc_moves": int(args.moves),
+        "eig_design": bool(args.eig),
         "value": round(ups, 1),
         "fidelity": round(fidelity, 4),
         "resamples": int(final.resample_count),

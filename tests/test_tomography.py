@@ -498,3 +498,36 @@ def test_process_tomography_two_qubit_channel():
         jax.random.key(5), u.particle_locations.shape)
     proj = m.canonicalize(kicked)
     assert bool(np.asarray(m.are_models_valid(proj)).all())
+
+
+def test_eig_prefers_uncertain_axis():
+    """Expected information gain on a tomography model must prefer the
+    Pauli projector aligned with the posterior's WIDE axis: a particle
+    cloud tight in Z but wide in X gains more from measuring X.
+    (Reference parity: smc.py::SMCUpdater.expected_information_gain
+    applied to the tomography family — the --eig adaptive-design mode of
+    benchmarks/tomography_bench.py.)"""
+    from qinfer_tpu.smc import _expected_information_gain
+
+    b = tomo.pauli_basis(1)
+    model = tomo.TomographyModel(b)
+    rng = np.random.default_rng(3)
+    n = 4000
+    # coords are (x, y, z)/sqrt2-scaled traceless Pauli components
+    locs = np.zeros((n, 3), dtype=np.float32)
+    locs[:, 0] = rng.uniform(-0.6, 0.6, n)      # wide in X
+    locs[:, 1] = 0.0
+    locs[:, 2] = 0.35 + rng.normal(0, 0.01, n)  # tight in Z
+    locs /= np.sqrt(2.0)
+    w = jnp.full((n,), 1.0 / n)
+
+    eye = np.zeros(4); eye[0] = np.sqrt(2)
+    proj = 0.5 * (eye[None, :] + np.sqrt(2) * np.eye(4))[1:]  # X, Y, Z
+    cand = jnp.asarray(proj, jnp.float32)
+    scores = np.asarray(_expected_information_gain(
+        model, w, jnp.asarray(locs), jnp.arange(2),
+        jnp.ones((2, 3), jnp.float32), {"meas": cand}))
+    assert scores.shape == (3,)
+    assert np.isfinite(scores).all()
+    assert scores[0] > scores[2] + 0.05   # X ≫ Z
+    assert scores[0] > scores[1]          # X ≥ Y (Y has zero spread)

@@ -47,7 +47,10 @@ def main():
                         "over the full Pauli-projector candidate grid "
                         "(config-5-style adaptive design on the "
                         "tomography family) instead of uniformly at "
-                        "random")
+                        "random. NOTE: measured to LOSE to random on "
+                        "fidelity at long horizons (greedy one-step MI "
+                        "myopia; see PERF_NOTES) — kept as the design-"
+                        "stack composition demo")
     parser.add_argument("--moves", type=int, default=0,
                         help="Metropolis rejuvenation moves after every "
                         "resample (resample-move; qinfer_tpu.rejuvenation)"

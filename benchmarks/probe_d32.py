@@ -98,7 +98,9 @@ def main():
         w2, x2, _ = rs.call_with_diagnostics(model, sub, w, x)
         return (x2, key)
 
-    timed_scan(resample, (mp, jax.random.key(1)), 100,
+    # K sized for the ~1 min execution watchdog: one resample at 255
+    # dims ≈ 0.1-0.3 s with the looped-Jacobi projection
+    timed_scan(resample, (mp, jax.random.key(1)), 50,
                "liu_west_resample_255", results)
 
     print(json.dumps(results))

@@ -249,12 +249,23 @@ def _update_step_impl(model, resampler, state, outcome, eps,
         if resample_gate is not None:
             do_resample = do_resample & resample_gate
         key, sub = jax.random.split(key)
-        new_w, locs, n_fallback = jax.lax.cond(
-            do_resample,
-            lambda args: resampler.call_with_diagnostics(
-                model, sub, args[0], args[1]),
-            lambda args: args + (jnp.asarray(0, jnp.int32),),
-            (new_w, locs),
+        # 0/1-trip while_loop instead of lax.cond: XLA aliases while-loop
+        # carries in place (body input/output share buffers), so the
+        # NOT-taken case costs one scalar predicate eval instead of the
+        # cond's entry/exit copies of the whole (weights, locations)
+        # state — measured ~0.34 ms/step of pure plumbing at 2²²
+        # particles (docs/PERF_NOTES.md roofline audit). Semantics are
+        # identical: the body runs exactly once iff ``do_resample``.
+
+        def _resample_once(carry):
+            w, x, _, _ = carry
+            w2, x2, nf = resampler.call_with_diagnostics(model, sub, w, x)
+            return (w2, x2, jnp.asarray(True), nf)
+
+        new_w, locs, _, n_fallback = jax.lax.while_loop(
+            lambda c: do_resample & ~c[2],
+            _resample_once,
+            (new_w, locs, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
         )
     else:
         do_resample = jnp.asarray(False)

@@ -83,8 +83,12 @@ def main():
         eye = jnp.eye(m.shape[-1], dtype=m.dtype)
         L = batched_cholesky_small(m + 1e-3 * eye)
         ok = ~jnp.any(jnp.isnan(L), axis=(-2, -1))
-        # keep the carry shape: nudge x by the validity count (no-op scale)
-        return x * (1.0 + 0.0 * jnp.sum(ok.astype(x.dtype)))
+        # Keep the Cholesky live: couple the carry ADDITIVELY to the
+        # validity count. A multiplicative `x * (1 + 0*sum(ok))` can be
+        # algebraically folded to `x` (0*finite → 0), letting XLA
+        # dead-code-eliminate the whole measured computation; an additive
+        # 1e-30*count perturbation has no such simplification.
+        return x + 1e-30 * jnp.sum(ok.astype(x.dtype))
 
     timed_scan(validity, mp, 100, "cholesky_validity_32", results)
 

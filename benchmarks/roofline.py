@@ -143,6 +143,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--particles", type=int, default=1 << 22)
     p.add_argument("--engine", choices=["fused", "xla"], default="fused")
+    p.add_argument("--out", default="benchmarks/ROOFLINE_r03.json")
     args = p.parse_args()
     n = args.particles
 
@@ -177,7 +178,7 @@ def main():
             for k, v in results.items() if k in ("noop", "reweight")
         },
     }
-    with open("benchmarks/ROOFLINE_r03.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(table, f, indent=1)
     print(json.dumps(table["phase_deltas_ms"], indent=1))
 

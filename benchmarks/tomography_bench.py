@@ -11,6 +11,7 @@ Prints one JSON line.
 """
 
 import argparse
+import itertools
 import json
 import os
 import sys
@@ -84,6 +85,15 @@ def main():
         from qinfer_tpu.tomography.models import ProcessTomographyModel
 
         nq = int(args.process_qubits)
+        if nq > 2:
+            # 4^nq product fiducials are enumerated eagerly on the host
+            # below (nq=3 → 64 kets of dim 8, dd²=64-dim coords, and an
+            # embedded-128 device path far past the lane-Jacobi gate) —
+            # refuse rather than silently become the bottleneck.
+            raise SystemExit("--process-qubits > 2 unsupported: fiducial "
+                             "enumeration is combinatorial (4^nq) and the "
+                             "PSD projection path is unmeasured past "
+                             "embedded d=64")
         dd = 2 ** nq
         b1 = tomo.pauli_basis(nq)
         b2 = tomo.pauli_basis(2 * nq)
@@ -111,8 +121,7 @@ def main():
              [1 / np.sqrt(2), 1 / np.sqrt(2)],
              [1 / np.sqrt(2), 1j / np.sqrt(2)]], dtype=np.complex64)
         kets = [reduce(np.kron, combo)
-                for combo in __import__("itertools").product(kets1,
-                                                             repeat=nq)]
+                for combo in itertools.product(kets1, repeat=nq)]
         fid = jnp.asarray(np.stack([
             np.asarray(b1.state_to_modelparams(np.outer(k, k.conj())))
             for k in kets]), dtype=jnp.float32)  # (4^nq, dd^2)

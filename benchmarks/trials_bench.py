@@ -12,8 +12,11 @@ on the real chip:
   ~linear in trials (this is also the multi-chip scale-out mode: one
   trial block per device).
 * ``vmap`` — trials batched into one program: every engine op runs at
-  ``trials x particles`` batch (better VPU/HBM utilization), but
-  ``lax.cond`` lowers to ``select`` so EVERY step pays the resample.
+  ``trials x particles`` batch (better VPU/HBM utilization), but the
+  0/1-trip resample ``while_loop`` vmaps to a select-masked body that
+  executes whenever ANY trial's ESS predicate fires — with 32
+  independent trials some trial resamples almost every step, so in
+  practice every step pays the full-batch resample cost.
 
 The interesting question this script answers with data: at which ensemble
 size does vmap's batching win over its forced-resample penalty?

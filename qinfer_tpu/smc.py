@@ -211,6 +211,38 @@ def _reweight(model, weights, locations, outcome, eps, k_like):
     return weights * ell, norm, jnp.log(jnp.maximum(norm, EPS))
 
 
+def _gated_resample(resampler, model, sub, do_resample, w, x):
+    """Run ONE resample iff ``do_resample`` (a traced bool), as a 0/1-trip
+    ``lax.while_loop``.
+
+    Why not ``lax.cond``: XLA aliases while-loop carries in place (body
+    input/output share buffers), so the NOT-taken case costs one scalar
+    predicate eval instead of the cond's entry/exit copies of the whole
+    (weights, locations) state — measured ~0.34 ms/step of pure plumbing
+    at 2²² particles (docs/PERF_NOTES.md roofline audit). Forward
+    semantics are identical: the body runs exactly once iff
+    ``do_resample`` (regression-pinned against the cond form on both the
+    taken and untaken branch in tests/test_round4_fixes.py). Trade-off:
+    ``while_loop`` has no transpose rule, so the update step is NOT
+    reverse-mode differentiable — nothing in the engine grads through an
+    update (score/Fisher paths differentiate the LIKELIHOOD, not the
+    update), and that is not a supported contract.
+
+    Returns ``(weights, locations, n_fallback)``.
+    """
+    def _resample_once(carry):
+        w0, x0, _, _ = carry
+        w2, x2, nf = resampler.call_with_diagnostics(model, sub, w0, x0)
+        return (w2, x2, jnp.asarray(True), nf)
+
+    w, x, _, n_fallback = jax.lax.while_loop(
+        lambda c: do_resample & ~c[2],
+        _resample_once,
+        (w, x, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+    )
+    return w, x, n_fallback
+
+
 def _update_step_impl(model, resampler, state, outcome, eps,
                       resample_thresh, zero_weight_thresh,
                       check_resample=True, resample_gate=None):
@@ -249,24 +281,8 @@ def _update_step_impl(model, resampler, state, outcome, eps,
         if resample_gate is not None:
             do_resample = do_resample & resample_gate
         key, sub = jax.random.split(key)
-        # 0/1-trip while_loop instead of lax.cond: XLA aliases while-loop
-        # carries in place (body input/output share buffers), so the
-        # NOT-taken case costs one scalar predicate eval instead of the
-        # cond's entry/exit copies of the whole (weights, locations)
-        # state — measured ~0.34 ms/step of pure plumbing at 2²²
-        # particles (docs/PERF_NOTES.md roofline audit). Semantics are
-        # identical: the body runs exactly once iff ``do_resample``.
-
-        def _resample_once(carry):
-            w, x, _, _ = carry
-            w2, x2, nf = resampler.call_with_diagnostics(model, sub, w, x)
-            return (w2, x2, jnp.asarray(True), nf)
-
-        new_w, locs, _, n_fallback = jax.lax.while_loop(
-            lambda c: do_resample & ~c[2],
-            _resample_once,
-            (new_w, locs, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
-        )
+        new_w, locs, n_fallback = _gated_resample(
+            resampler, model, sub, do_resample, new_w, locs)
     else:
         do_resample = jnp.asarray(False)
         n_fallback = jnp.asarray(0, jnp.int32)

@@ -36,11 +36,20 @@ import jax.numpy as jnp
 from .utils import sqrtm_psd
 
 __all__ = ["resolve_prior_log_pdf", "record_log_likelihood",
-           "mcmc_rejuvenate", "mcmc_rejuvenate_jit"]
+           "binomial_record_log_likelihood",
+           "mcmc_rejuvenate", "mcmc_rejuvenate_jit",
+           "mcmc_rejuvenate_binomial", "mcmc_rejuvenate_binomial_jit"]
 
 #: floor for linear likelihoods before log (exact zeros would make the MH
-#: ratio -inf − -inf = NaN when both states are impossible)
-_LL_FLOOR = 1e-38
+#: ratio -inf − -inf = NaN when both states are impossible). 1e-37 — NOT
+#: 1e-38: the latter is SUBNORMAL in float32 and XLA CPU flushes it to
+#: zero, which silently turned ``jnp.log(_LL_FLOOR)`` into -inf and the
+#: log-path floor below into a no-op (caught by
+#: tests/test_sufficient_record.py::test_compressed_ll_differs_by_constant).
+_LL_FLOOR = 1e-37
+#: the same floor in log space, computed HOST-SIDE in float64 so no
+#: device flush-to-zero can corrupt it
+_LOG_LL_FLOOR = -85.19565
 
 
 def resolve_prior_log_pdf(prior):
@@ -113,14 +122,49 @@ def record_log_likelihood(model, locations, outcomes, eps_record, mask,
     if use_log:
         # floor exact -inf (impossible outcomes) like the linear path: the
         # MH ratio must never see -inf minus -inf
-        ll = jnp.maximum(ll, jnp.log(_LL_FLOOR))
+        ll = jnp.maximum(ll, _LOG_LL_FLOOR)
     return jnp.sum(jnp.where(mask[:, None], ll, 0.0), axis=0)
 
 
-def mcmc_rejuvenate(model, prior, key, locations, outcomes, eps_record,
-                    mask, n_moves, proposal_scale=2.38):
-    """Apply ``n_moves`` Metropolis-Hastings steps to every particle,
-    targeting prior × masked-record likelihood.
+def binomial_record_log_likelihood(two_outcome_model, locations, succ,
+                                   trials, eps_pool):
+    """EXACT record log-likelihood from per-candidate sufficient statistics.
+
+    When every recorded experiment is drawn from a FINITE candidate pool
+    and outcomes are Bernoulli bits or binomial counts over that pool, the
+    product of record likelihoods collapses exactly:
+
+        Σ_k log Binom(o_k; m_k, p_{c_k}(θ))
+          = Σ_e [ S_e · log p_e(θ) + (N_e − S_e) · log(1 − p_e(θ)) ] + C,
+
+    where ``S_e = Σ_{k: c_k=e} o_k`` (total successes at candidate e),
+    ``N_e = Σ_{k: c_k=e} m_k`` (total trials), and C — the sum of
+    log-binomial coefficients — is θ-INDEPENDENT, so it cancels in every
+    Metropolis ratio. One likelihood pass over the E-candidate pool
+    replaces the O(T·n) record pass (VERDICT r3 #5: the rejuvenation cost
+    no longer grows with the record length T).
+
+    ``succ``/``trials`` are (E,) float arrays; ``eps_pool`` is an expparams
+    pytree with leading axis E. Padding rows with ``trials = succ = 0``
+    contribute exactly 0 — no mask needed. The MXU-friendly form: the
+    (n, E) log-probability matrices contract against the statistics
+    vectors as two matvecs.
+
+    :param two_outcome_model: the UNWRAPPED two-outcome model (success :=
+        outcome 0, matching ``BinomialModel``'s convention).
+    :return: (n,) per-particle record log-likelihood, up to the constant C.
+    """
+    L0 = two_outcome_model.likelihood(
+        jnp.array([0]), locations, eps_pool)[0]          # (n, E)
+    p0 = jnp.clip(L0, _LL_FLOOR, 1.0 - 1e-7)
+    return (jnp.log(p0) @ succ.astype(p0.dtype)
+            + jnp.log1p(-p0) @ (trials - succ).astype(p0.dtype))
+
+
+def _mh_moves(model, prior, key, locations, record_ll, n_moves,
+              proposal_scale, keyed):
+    """Shared Metropolis-Hastings core: ``n_moves`` random-walk steps per
+    particle targeting prior × ``record_ll``.
 
     Proposal: Gaussian random walk with covariance
     ``(proposal_scale² / d) · Σ_ensemble`` (the Roberts-Gelman-Gilks
@@ -129,12 +173,9 @@ def mcmc_rejuvenate(model, prior, key, locations, outcomes, eps_record,
     directions such as the trace-preserving subspace of Choi coordinates).
     Invalid proposals (outside ``model.are_models_valid``) are rejected —
     the support factor of the prior.
-
-    :return: ``(new_locations, mean_acceptance_rate)``.
     """
     n, d = locations.shape
     log_pdf = resolve_prior_log_pdf(prior)
-    keyed = getattr(model, "wants_likelihood_key", False)
 
     mu = jnp.mean(locations, axis=0)
     xc = locations - mu[None, :]
@@ -146,9 +187,7 @@ def mcmc_rejuvenate(model, prior, key, locations, outcomes, eps_record,
     step = (proposal_scale / jnp.sqrt(float(d))) * chol
 
     def posterior_lp(x, k):
-        return record_log_likelihood(
-            model, x, outcomes, eps_record, mask,
-            key=k if keyed else None) + log_pdf(x)
+        return record_ll(x, k) + log_pdf(x)
 
     def body(carry, k):
         x, lp = carry
@@ -174,6 +213,57 @@ def mcmc_rejuvenate(model, prior, key, locations, outcomes, eps_record,
     return model.canonicalize(x), jnp.mean(acc)
 
 
-#: Jitted entry for host-side callers (``SMCUpdater._rejuvenate_now``).
+def mcmc_rejuvenate(model, prior, key, locations, outcomes, eps_record,
+                    mask, n_moves, proposal_scale=2.38):
+    """Apply ``n_moves`` Metropolis-Hastings steps to every particle,
+    targeting prior × masked-record likelihood (full-record form: one
+    (T, n) likelihood pass per MH evaluation).
+
+    :return: ``(new_locations, mean_acceptance_rate)``.
+    """
+    keyed = getattr(model, "wants_likelihood_key", False)
+
+    def record_ll(x, k):
+        return record_log_likelihood(
+            model, x, outcomes, eps_record, mask, key=k if keyed else None)
+
+    return _mh_moves(model, prior, key, locations, record_ll, n_moves,
+                     proposal_scale, keyed)
+
+
+def mcmc_rejuvenate_binomial(model, prior, key, locations, succ, trials,
+                             eps_pool, n_moves, proposal_scale=2.38):
+    """Sufficient-statistic twin of :func:`mcmc_rejuvenate` for records of
+    Bernoulli/binomial outcomes over a finite candidate pool: SAME target
+    (the record constant cancels in the MH ratio), SAME key consumption,
+    but each MH evaluation costs one (n, E) pool pass instead of a (T, n)
+    record pass.
+
+    ``model`` may be a ``BinomialModel`` (unwrapped internally for the
+    success probability) or the bare two-outcome model; validity gating
+    and canonicalization use ``model`` itself.
+    """
+    from .derived_models import BinomialModel
+
+    two = model.underlying_model if isinstance(model, BinomialModel) \
+        else model
+    if getattr(two, "wants_likelihood_key", False):
+        raise ValueError(
+            "sufficient-statistic rejuvenation requires a deterministic "
+            "two-outcome likelihood (wants_likelihood_key models "
+            "re-estimate per evaluation; the compressed record cannot "
+            "reproduce their per-record-step noise)")
+
+    def record_ll(x, _k):
+        return binomial_record_log_likelihood(two, x, succ, trials,
+                                              eps_pool)
+
+    return _mh_moves(model, prior, key, locations, record_ll, n_moves,
+                     proposal_scale, keyed=False)
+
+
+#: Jitted entries for host-side callers (``SMCUpdater._rejuvenate_now``).
 mcmc_rejuvenate_jit = partial(jax.jit, static_argnames=("n_moves",))(
     mcmc_rejuvenate)
+mcmc_rejuvenate_binomial_jit = partial(
+    jax.jit, static_argnames=("n_moves",))(mcmc_rejuvenate_binomial)

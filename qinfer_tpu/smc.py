@@ -360,12 +360,14 @@ def _update_step_eager(model, resampler, state, outcome, eps,
 
 
 @partial(jax.jit, static_argnames=("resample_interval", "check_resample",
-                                   "n_mcmc_moves"))
+                                   "n_mcmc_moves", "sufficient"))
 def _batch_update(model, resampler, state, outcomes, eps_batch,
                   resample_thresh, zero_weight_thresh,
                   resample_interval=5, check_resample=True,
                   prior=None, rec_outcomes=None, rec_eps=None, n_past=0,
-                  n_mcmc_moves=0, proposal_scale=2.38):
+                  n_mcmc_moves=0, proposal_scale=2.38,
+                  sufficient=False, pool_eps=None, pool_idx=None,
+                  succ0=None, trials0=None, succ_inc=None, trials_inc=None):
     """``lax.scan`` over a whole experiment record.
 
     Reference parity: ``smc.py::SMCUpdater.batch_update(resample_interval)``
@@ -380,18 +382,47 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
     to a power of two by the caller so successive calls retrace only
     O(log T) times — and the step mask (``n_past`` is TRACED, never a
     compile key) exposes exactly the experiments observed so far.
+
+    With ``sufficient=True`` (``SMCUpdater(compress_mcmc_record=True)``),
+    the record rides as per-candidate sufficient statistics instead:
+    ``pool_eps`` is the deduplicated candidate pool (leading axis E, the
+    wrapped two-outcome expparams), ``pool_idx`` (T,) maps each scan step
+    to its candidate, ``succ0``/``trials0`` carry the pre-batch totals and
+    ``succ_inc``/``trials_inc`` (T,) this batch's per-step increments —
+    each MH evaluation is one (n, E) pool pass, so the rejuvenation cost
+    is independent of the record length (VERDICT r3 #5).
     """
     check_now = check_resample and resample_interval > 0
 
     def step(carry, inp):
-        st = carry
-        outcome, eps, idx = inp
+        if sufficient and n_mcmc_moves > 0:
+            st, succ, trials = carry
+            outcome, eps, idx, c_idx, s_inc, t_inc = inp
+        else:
+            st = carry
+            outcome, eps, idx = inp
         gate = ((idx % resample_interval) == (resample_interval - 1)
                 if check_now else None)
         new_st, log_norm, _ = _update_step_impl(
             model, resampler, st, outcome, eps,
             resample_thresh, zero_weight_thresh,
             check_resample=check_now, resample_gate=gate)
+        if sufficient and n_mcmc_moves > 0:
+            from .rejuvenation import mcmc_rejuvenate_binomial
+
+            succ = succ.at[c_idx].add(s_inc)
+            trials = trials.at[c_idx].add(t_inc)
+
+            def move(s):
+                key, sub = jax.random.split(s.key)
+                x, _ = mcmc_rejuvenate_binomial(
+                    model, prior, sub, s.locations, succ, trials,
+                    pool_eps, n_mcmc_moves, proposal_scale)
+                return s._replace(locations=x, key=key)
+
+            new_st = jax.lax.cond(new_st.just_resampled, move,
+                                  lambda s: s, new_st)
+            return (new_st, succ, trials), log_norm
         if n_mcmc_moves > 0:
             from .rejuvenation import mcmc_rejuvenate
 
@@ -410,6 +441,11 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
 
     n_steps = outcomes.shape[0]
     idxs = jnp.arange(n_steps)
+    if sufficient and n_mcmc_moves > 0:
+        (final, _, _), norms = jax.lax.scan(
+            step, (state, succ0, trials0),
+            (outcomes, eps_batch, idxs, pool_idx, succ_inc, trials_inc))
+        return final, norms
     final, norms = jax.lax.scan(step, state, (outcomes, eps_batch, idxs))
     return final, norms
 
@@ -539,6 +575,14 @@ class SMCUpdater:
     :param seed: int seed or PRNG key for all stochastic engine operations.
     :param sharding: optional ``jax.sharding.NamedSharding`` for the particle
         axis (see :mod:`qinfer_tpu.parallel`).
+    :param int n_mcmc_moves: Metropolis rejuvenation moves after each
+        resample, targeting prior × record likelihood
+        (:mod:`qinfer_tpu.rejuvenation`).
+    :param bool compress_mcmc_record: keep the rejuvenation record as
+        per-candidate binomial sufficient statistics (exact for two-outcome
+        models and ``BinomialModel`` counts) so each MH evaluation costs
+        O(E·n) in the number of DISTINCT experiments instead of O(T·n) in
+        the record length.
     """
 
     def __init__(self, model, n_particles, prior,
@@ -547,7 +591,8 @@ class SMCUpdater:
                  track_resampling_divergence=False,
                  zero_weight_policy="error", zero_weight_thresh=None,
                  canonicalize=True, seed=0, sharding=None,
-                 n_mcmc_moves=0, mcmc_proposal_scale=2.38):
+                 n_mcmc_moves=0, mcmc_proposal_scale=2.38,
+                 compress_mcmc_record=False):
         self.model = model
         self.prior = prior
         self._n_particles = int(n_particles)
@@ -575,6 +620,40 @@ class SMCUpdater:
             from .rejuvenation import resolve_prior_log_pdf
 
             resolve_prior_log_pdf(prior)  # raises for intractable priors
+        self.compress_mcmc_record = bool(compress_mcmc_record)
+        self._two_outcome_model = None
+        self._record_is_binomial = False
+        if self.compress_mcmc_record:
+            # Sufficient-statistic record (VERDICT r3 #5): the record
+            # collapses exactly to per-candidate success/trial totals for
+            # Bernoulli two-outcome models and BinomialModel counts —
+            # rejuvenation cost becomes O(E·n) per MH evaluation (E =
+            # distinct experiments seen) instead of O(T·n).
+            from .derived_models import BinomialModel
+
+            if self.n_mcmc_moves <= 0:
+                raise ValueError("compress_mcmc_record=True requires "
+                                 "n_mcmc_moves > 0 (it only affects the "
+                                 "rejuvenation record)")
+            if isinstance(model, BinomialModel):
+                self._two_outcome_model = model.underlying_model
+                self._record_is_binomial = True
+            elif (getattr(model, "is_n_outcomes_constant", True)
+                    and model.n_outcomes(None) == 2):
+                self._two_outcome_model = model
+            else:
+                raise ValueError(
+                    "compress_mcmc_record=True requires a two-outcome "
+                    "model or a BinomialModel over one (the record "
+                    "factorizes through per-candidate binomial "
+                    "sufficient statistics)")
+            if getattr(self._two_outcome_model, "wants_likelihood_key",
+                       False):
+                raise ValueError(
+                    "compress_mcmc_record=True requires a deterministic "
+                    "two-outcome likelihood (Monte-Carlo likelihoods "
+                    "cannot reproduce per-record-step noise from "
+                    "compressed statistics)")
         if isinstance(seed, int):
             self._base_key = jax.random.key(seed)
         else:
@@ -602,6 +681,12 @@ class SMCUpdater:
         self.data_record = []
         self.normalization_record = []
         self._eps_record = []  # per-experiment expparams (rejuvenation)
+        # compressed rejuvenation record: host-side dedupe of experiments
+        # into a candidate pool with per-candidate success/trial totals
+        self._pool_index = {}   # eps bytes -> pool row
+        self._pool_eps = []     # single-experiment two-outcome expparams
+        self._pool_succ = []
+        self._pool_trials = []
         self.resampling_divergences = [] if self.track_resampling_divergence else None
 
     def _shard_state(self, state):
@@ -765,6 +850,8 @@ class SMCUpdater:
             float(np.exp(np.float64(log_norm))))
         if self.n_mcmc_moves > 0:
             self._eps_record.append(eps)
+            if self.compress_mcmc_record:
+                self._accumulate_record(outcome, eps)
             if bool(new_state.just_resampled):
                 self._rejuvenate_now()
 
@@ -809,7 +896,39 @@ class SMCUpdater:
         self.model._bump("_call_count",
                          int(outcomes.shape[0]) * self.n_particles)
         move_kwargs = {}
-        if self.n_mcmc_moves > 0:
+        if self.n_mcmc_moves > 0 and self.compress_mcmc_record:
+            # Dedupe this batch's experiments into the candidate pool
+            # host-side (they are concrete here), then let the scan carry
+            # the success/trial totals: per-step pool indices + increments
+            # ride as scan inputs, so the in-scan rejuvenation sees exactly
+            # the statistics of everything observed so far.
+            n_batch = int(outcomes.shape[0])
+            idx_rows, s_inc, t_inc = [], [], []
+            for i in range(n_batch):
+                eps_i = expparams_at(eps, i)
+                key_bytes, eps_two, n_meas = self._pool_key_and_eps(eps_i)
+                row = self._pool_index.get(key_bytes)
+                if row is None:
+                    row = len(self._pool_eps)
+                    self._pool_index[key_bytes] = row
+                    self._pool_eps.append(eps_two)
+                    self._pool_succ.append(0.0)
+                    self._pool_trials.append(0.0)
+                idx_rows.append(row)
+                o = float(np.asarray(outcomes[i]).ravel()[0])
+                s_inc.append(o if self._record_is_binomial
+                             else (1.0 if o == 0 else 0.0))
+                t_inc.append(float(n_meas))
+            pool_eps, succ0, trials0 = self._pool_arrays()
+            move_kwargs = dict(
+                prior=self.prior, sufficient=True, pool_eps=pool_eps,
+                pool_idx=jnp.asarray(idx_rows, jnp.int32),
+                succ0=succ0, trials0=trials0,
+                succ_inc=jnp.asarray(s_inc, jnp.float32),
+                trials_inc=jnp.asarray(t_inc, jnp.float32),
+                n_mcmc_moves=self.n_mcmc_moves,
+                proposal_scale=self.mcmc_proposal_scale)
+        elif self.n_mcmc_moves > 0:
             n_past = len(self._eps_record)
             if n_past:
                 p_outs, p_eps = self._record_arrays()
@@ -891,6 +1010,17 @@ class SMCUpdater:
         if self.n_mcmc_moves > 0:
             for i in range(int(outcomes.shape[0])):
                 self._eps_record.append(expparams_at(eps, i))
+            if self.compress_mcmc_record:
+                # commit this batch's sufficient-statistic increments
+                # (pool rows were created before the scan; totals only
+                # commit with the batch, so a raised replay never
+                # double-counts)
+                idx_rows = np.asarray(move_kwargs["pool_idx"])
+                s_inc = np.asarray(move_kwargs["succ_inc"])
+                t_inc = np.asarray(move_kwargs["trials_inc"])
+                for row, si, ti in zip(idx_rows, s_inc, t_inc):
+                    self._pool_succ[int(row)] += float(si)
+                    self._pool_trials[int(row)] += float(ti)
         return jnp.asarray(norms)
 
     def _on_resample_diagnostics(self, prev_state, new_state):
@@ -979,6 +1109,57 @@ class SMCUpdater:
         }
         return outs, eps_rec
 
+    def _pool_key_and_eps(self, eps):
+        """Host-side canonical (bytes key, two-outcome eps) for one
+        experiment: the ``n_meas`` field rides in the trial totals, not the
+        pool identity."""
+        eps_np = {k: np.asarray(v) for k, v in eps.items()}
+        n_meas = 1
+        if self._record_is_binomial:
+            n_meas = int(eps_np.pop("n_meas").ravel()[0])
+        key_bytes = b"\x00".join(
+            k.encode() + b"=" + np.ascontiguousarray(eps_np[k]).tobytes()
+            for k in sorted(eps_np))
+        return key_bytes, eps_np, n_meas
+
+    def _accumulate_record(self, outcome, eps):
+        """Fold one committed (outcome, experiment) into the per-candidate
+        sufficient statistics (success := underlying outcome 0, the
+        ``BinomialModel`` convention; Bernoulli bits are n=1 binomials)."""
+        key_bytes, eps_two, n_meas = self._pool_key_and_eps(eps)
+        idx = self._pool_index.get(key_bytes)
+        if idx is None:
+            idx = len(self._pool_eps)
+            self._pool_index[key_bytes] = idx
+            self._pool_eps.append(eps_two)
+            self._pool_succ.append(0.0)
+            self._pool_trials.append(0.0)
+        o = float(np.asarray(outcome).ravel()[0])
+        self._pool_succ[idx] += o if self._record_is_binomial \
+            else (1.0 if o == 0 else 0.0)
+        self._pool_trials[idx] += float(n_meas)
+
+    def _pool_arrays(self):
+        """The compressed record as device buffers, padded to a power of
+        two over candidates (padding rows repeat row 0 with zero trials —
+        they contribute exactly 0 to the record log-likelihood)."""
+        E = len(self._pool_eps)
+        Ep = max(8, 1 << (E - 1).bit_length()) if E > 1 else 8
+        pad = Ep - E
+        pool_eps = {
+            k: jnp.asarray(np.concatenate(
+                [np.concatenate([np.atleast_1d(e[k]) for e in
+                                 self._pool_eps], axis=0)]
+                + ([np.repeat(np.atleast_1d(self._pool_eps[0][k]), pad,
+                              axis=0)] if pad else []), axis=0))
+            for k in self._pool_eps[0]
+        }
+        succ = jnp.asarray(np.pad(np.asarray(self._pool_succ,
+                                             np.float32), (0, pad)))
+        trials = jnp.asarray(np.pad(np.asarray(self._pool_trials,
+                                               np.float32), (0, pad)))
+        return pool_eps, succ, trials
+
     def _rejuvenate_now(self):
         """Apply ``n_mcmc_moves`` Metropolis moves targeting
         prior × record-likelihood (sequential-API path; the scanned paths
@@ -986,6 +1167,18 @@ class SMCUpdater:
         two so the jitted kernel retraces O(log T) times, not per step."""
         T = len(self._eps_record)
         if T == 0:
+            return
+        if self.compress_mcmc_record:
+            from .rejuvenation import mcmc_rejuvenate_binomial_jit
+
+            pool_eps, succ, trials = self._pool_arrays()
+            st = self._state
+            key, sub = jax.random.split(st.key)
+            x, _ = mcmc_rejuvenate_binomial_jit(
+                self.model, self.prior, sub, st.locations, succ, trials,
+                pool_eps, n_moves=self.n_mcmc_moves,
+                proposal_scale=self.mcmc_proposal_scale)
+            self._state = st._replace(locations=x, key=key)
             return
         from .rejuvenation import mcmc_rejuvenate_jit
 

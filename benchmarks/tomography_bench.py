@@ -65,6 +65,15 @@ def main():
                         "flagship convergence config; two-outcome "
                         "configs only, i.e. --process or plain state "
                         "tomography)")
+    parser.add_argument("--chunk", type=int, default=0,
+                        help="execute the adaptive loop as ceil(steps/"
+                        "chunk) invocations of ONE compiled chunk-step "
+                        "scan instead of a single program — required on "
+                        "TPU when many-resample configs would blow the "
+                        "~1 min execution watchdog (0 = single program)")
+    parser.add_argument("--proposal-scale", type=float, default=2.38,
+                        help="MH random-walk scale for --moves "
+                        "(Roberts-Gelman-Gilks 2.38 default)")
     args = parser.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -288,7 +297,7 @@ def main():
 
     def step(carry, idx):
         if sufficient:
-            st, key, true, succ, trials = carry
+            st, key, true, succ, trials, acc_sum = carry
         elif n_moves > 0:
             st, key, true, rec_o, rec_e = carry
         else:
@@ -324,14 +333,16 @@ def main():
 
             def move(s):
                 key2, sub = jax.random.split(s.key)
-                x, _ = mcmc_rejuvenate_binomial(
+                x, acc = mcmc_rejuvenate_binomial(
                     model, prior, sub, s.locations, succ, trials,
-                    pool_eps, n_moves, 2.38)
-                return s._replace(locations=x, key=key2)
+                    pool_eps, n_moves, args.proposal_scale)
+                return s._replace(locations=x, key=key2), acc
 
-            new_st = jax.lax.cond(new_st.just_resampled, move,
-                                  lambda s: s, new_st)
-            return (new_st, key, true, succ, trials), ()
+            new_st, acc = jax.lax.cond(
+                new_st.just_resampled, move,
+                lambda s: (s, jnp.float32(0.0)), new_st)
+            acc_sum = acc_sum + acc
+            return (new_st, key, true, succ, trials, acc_sum), ()
         if n_moves > 0:
             rec_o = rec_o.at[idx].set(outcome[0].astype(jnp.int32))
             rec_e = {k: rec_e[k].at[idx].set(eps[k][0])
@@ -342,7 +353,7 @@ def main():
                 mask = jnp.arange(args.steps) < (idx + 1)
                 x, _ = mcmc_rejuvenate(
                     model, prior, sub, s.locations, rec_o, rec_e,
-                    mask, n_moves, 2.38)
+                    mask, n_moves, args.proposal_scale)
                 return s._replace(locations=x, key=key2)
 
             new_st = jax.lax.cond(new_st.just_resampled, move,
@@ -350,27 +361,38 @@ def main():
             return (new_st, key, true, rec_o, rec_e), ()
         return (new_st, key, true), ()
 
+    # one compiled chunk-step scan, invoked ceil(steps/chunk) times with a
+    # traced offset (all invocations share the one compilation); chunk=0
+    # keeps the whole loop in a single program
+    C = args.chunk if args.chunk > 0 else args.steps
+    n_chunks = -(-args.steps // C)
+    total_steps = C * n_chunks
+
     @jax.jit
+    def run_chunk(carry, offset):
+        out, _ = jax.lax.scan(step, carry, offset + jnp.arange(C))
+        return out
+
     def run(st, key):
         if sufficient:
-            carry0 = (st, key, true_mps, succ0, trials0)
-            out, _ = jax.lax.scan(step, carry0, jnp.arange(args.steps))
-            final, _, true = out[0], out[1], out[2]
+            carry = (st, key, true_mps, succ0, trials0, jnp.float32(0.0))
         elif n_moves > 0:
-            carry0 = (st, key, true_mps, rec_out0, rec_eps0)
-            out, _ = jax.lax.scan(step, carry0, jnp.arange(args.steps))
-            final, _, true = out[0], out[1], out[2]
+            carry = (st, key, true_mps, rec_out0, rec_eps0)
         else:
-            (final, _, true), _ = jax.lax.scan(
-                step, (st, key, true_mps), jnp.arange(args.steps))
-        return final, true
+            carry = (st, key, true_mps)
+        for c in range(n_chunks):
+            carry = run_chunk(carry, jnp.int32(c * C))
+            if n_chunks > 1:
+                jax.block_until_ready(carry[0].weights)
+        acc = carry[5] if sufficient else None
+        return carry[0], carry[2], acc
 
     k0 = jax.random.key(1)
-    final, _ = run(state, k0)
+    final, _, _ = run(state, k0)
     jax.block_until_ready(final.weights)  # compile + warmup
 
     t0 = time.perf_counter()
-    final, final_true = run(state, jax.random.key(2))
+    final, final_true, acc_total = run(state, jax.random.key(2))
     jax.block_until_ready(final.weights)
     dt = time.perf_counter() - t0
 
@@ -385,7 +407,10 @@ def main():
     s_sig = sqrtm(true_rho)
     inner = sqrtm(s_sig @ rho_est @ s_sig)
     fidelity = float(np.real(np.trace(inner)) ** 2)
-    ups = n * args.steps / dt
+    ups = n * total_steps / dt
+    n_resamples = int(final.resample_count)
+    mean_acc = (round(float(acc_total) / max(n_resamples, 1), 3)
+                if acc_total is not None and n_moves > 0 else None)
 
     print(json.dumps({
         "metric": ("process_tomography_particle_updates_per_s"
@@ -394,7 +419,7 @@ def main():
                    if args.diffusive else
                    "tomography_particle_updates_per_s"),
         "n_particles": n,
-        "n_steps": args.steps,
+        "n_steps": total_steps,
         "n_qubits": (None if args.process or args.diffusive
                      else int(args.qubits)),
         "mcmc_moves": int(args.moves),
@@ -402,7 +427,8 @@ def main():
         "eig_design": bool(args.eig),
         "value": round(ups, 1),
         "fidelity": round(fidelity, 4),
-        "resamples": int(final.resample_count),
+        "resamples": n_resamples,
+        "mean_move_acceptance": mean_acc,
         "wall_s": round(dt, 2),
     }))
 

@@ -74,6 +74,13 @@ def main():
     parser.add_argument("--proposal-scale", type=float, default=2.38,
                         help="MH random-walk scale for --moves "
                         "(Roberts-Gelman-Gilks 2.38 default)")
+    parser.add_argument("--eig-policy", default="greedy",
+                        choices=["greedy", "egreedy", "softmax"],
+                        help="candidate-selection policy for --eig "
+                        "(expdesign.select_candidate; greedy = round-3 "
+                        "argmax, the measured-myopic baseline)")
+    parser.add_argument("--eig-epsilon", type=float, default=0.25,
+                        help="exploration rate for --eig-policy egreedy")
     args = parser.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -226,10 +233,13 @@ def main():
         if args.eig:
             # adaptive design: score EVERY Pauli projector by expected
             # information gain (the MXU two-matmul contraction,
-            # smc._expected_information_gain) and measure the argmax —
-            # reference parity: expdesign/EIG applied to the tomography
-            # family (config-5 shape on a second model family)
+            # smc._expected_information_gain) and select per
+            # --eig-policy — 'greedy' is the round-3 argmax (measured to
+            # LOSE to random at long horizons: one-step myopia);
+            # 'egreedy'/'softmax' are the round-4 non-myopic mitigations
+            # (qinfer_tpu.expdesign.select_candidate)
             from qinfer_tpu.smc import _expected_information_gain
+            from qinfer_tpu.expdesign import select_candidate
 
             cand = heur.proj_coords                   # (n_cand, d²)
             eig_mask = jnp.ones((2, cand.shape[0]), jnp.float32)
@@ -239,7 +249,10 @@ def main():
                 scores = _expected_information_gain(
                     model, weights, locations, eig_outcomes, eig_mask,
                     {"meas": cand})
-                return {"meas": cand[jnp.argmax(scores)][None]}
+                pick = select_candidate(
+                    key, scores, policy=args.eig_policy,
+                    epsilon=args.eig_epsilon)
+                return {"meas": cand[pick][None]}
 
     tomo_model = model  # coordinate<->state conversions stay on the base
     if args.shots > 0:
@@ -425,6 +438,7 @@ def main():
         "mcmc_moves": int(args.moves),
         "shots": int(args.shots),
         "eig_design": bool(args.eig),
+        "eig_policy": (args.eig_policy if args.eig else None),
         "value": round(ups, 1),
         "fidelity": round(fidelity, 4),
         "resamples": n_resamples,

@@ -21,11 +21,66 @@ from __future__ import annotations
 import enum
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .finite_difference import FiniteDifference
 
-__all__ = ["ExperimentDesigner", "OptimizationAlgorithms"]
+__all__ = ["ExperimentDesigner", "OptimizationAlgorithms",
+           "select_candidate"]
+
+
+def select_candidate(key, scores, policy="greedy", epsilon=0.1,
+                     temperature=None):
+    """Pick a candidate index from utility ``scores`` (n_candidates,).
+
+    Greedy argmax over one-step expected information gain is MYOPIC: on
+    informationally-complete candidate grids it re-selects the currently
+    most informative direction and under-explores the rest, measurably
+    LOSING to uniform-random selection at long horizons (2-qubit state
+    tomography, docs/PERF_NOTES.md round-3 negative result; reference
+    anchor ``src/qinfer/expdesign.py::ExperimentDesigner.
+    design_expparams_field``, which shares the one-step-lookahead target).
+    The stochastic policies here mix exploration back in while keeping the
+    early-step greedy gains — all jit-safe (no data-dependent shapes):
+
+    - ``'greedy'``: argmax (the reference behavior).
+    - ``'egreedy'``: with probability ``epsilon`` a uniform-random
+      candidate, else argmax — the ε bounds every candidate's selection
+      rate away from zero, so no direction starves.
+    - ``'softmax'``: one sample from softmax(scores / T) via the Gumbel
+      trick (``argmax(scores/T + g)``). ``temperature=None`` self-scales
+      to the score spread (T = std(scores)): early on, scores differ
+      sharply and selection is near-greedy; as the posterior equilibrates
+      the spread shrinks and selection approaches uniform — an annealed
+      explore/exploit schedule with no tuning.
+
+    :return: scalar int32 candidate index (traced).
+    """
+    scores = jnp.asarray(scores)
+    n_cand = scores.shape[0]
+    if policy == "greedy":
+        return jnp.argmax(scores).astype(jnp.int32)
+    if policy == "egreedy":
+        k_u, k_pick = jax.random.split(key)
+        rand_idx = jax.random.randint(k_pick, (), 0, n_cand)
+        greedy_idx = jnp.argmax(scores)
+        explore = jax.random.uniform(k_u, ()) < epsilon
+        return jnp.where(explore, rand_idx, greedy_idx).astype(jnp.int32)
+    if policy == "softmax":
+        if temperature is None:
+            t = jnp.maximum(jnp.std(scores), 1e-12)
+        else:
+            t = jnp.asarray(temperature, scores.dtype)
+        # center by the max BEFORE dividing: raw scores/t at tiny t is
+        # ~1e12 and float-absorbs the O(1) Gumbel noise (degenerate flat
+        # scores would collapse to argmax-of-ties = index 0 instead of
+        # uniform); centered logits live in [-spread/t, 0]
+        z = (scores - jnp.max(scores)) / t
+        g = jax.random.gumbel(key, (n_cand,), scores.dtype)
+        return jnp.argmax(z + g).astype(jnp.int32)
+    raise ValueError(f"unknown candidate-selection policy {policy!r} "
+                     "(greedy | egreedy | softmax)")
 
 
 class OptimizationAlgorithms(enum.Enum):

@@ -265,3 +265,69 @@ def test_designer_bounds_and_string_algo():
         assert 1.0 <= m <= 200.0, f"{algo}: m={m}"
     with pytest.raises(ValueError):
         q.ExperimentDesigner(u, opt_algo="bogus")
+
+
+# ---------------------------------------------------------------------------
+# candidate-selection policies (VERDICT r3 #2: non-myopic EIG design)
+# ---------------------------------------------------------------------------
+
+def test_select_candidate_greedy_is_argmax():
+    from qinfer_tpu.expdesign import select_candidate
+
+    scores = jnp.asarray([0.1, 3.0, 0.5, 2.9])
+    for seed in range(5):
+        assert int(select_candidate(jax.random.key(seed), scores,
+                                    policy="greedy")) == 1
+
+
+def test_select_candidate_egreedy_rates():
+    """ε-greedy must pick argmax at ~(1-ε+ε/n) and every other candidate
+    at ~ε/n — bounding every selection rate away from zero."""
+    from qinfer_tpu.expdesign import select_candidate
+
+    scores = jnp.asarray([0.1, 3.0, 0.5, 2.9])
+    picks = jax.vmap(lambda k: select_candidate(
+        k, scores, policy="egreedy", epsilon=0.4))(
+        jax.random.split(jax.random.key(0), 4000))
+    counts = np.bincount(np.asarray(picks), minlength=4) / 4000
+    assert abs(counts[1] - (0.6 + 0.1)) < 0.04
+    for i in (0, 2, 3):
+        assert abs(counts[i] - 0.1) < 0.03
+
+
+def test_select_candidate_softmax_self_scales():
+    """Gumbel-softmax selection: sharp score spreads are near-greedy,
+    flat spreads near-uniform (the annealed explore/exploit schedule)."""
+    from qinfer_tpu.expdesign import select_candidate
+
+    keys = jax.random.split(jax.random.key(1), 3000)
+
+    sharp = jnp.asarray([0.0, 10.0, 0.0, 0.0])
+    picks = jax.vmap(lambda k: select_candidate(
+        k, sharp, policy="softmax"))(keys)
+    counts = np.bincount(np.asarray(picks), minlength=4) / 3000
+    assert counts[1] > 0.65  # spread/std ≈ 2.3σ above the rest
+
+    flat = jnp.asarray([1.0, 1.0 + 1e-9, 1.0, 1.0])
+    picks = jax.vmap(lambda k: select_candidate(
+        k, flat, policy="softmax"))(keys)
+    counts = np.bincount(np.asarray(picks), minlength=4) / 3000
+    assert np.all(counts > 0.15)  # near-uniform
+
+    # fixed temperature overrides self-scaling
+    picks = jax.vmap(lambda k: select_candidate(
+        k, sharp, policy="softmax", temperature=0.5))(keys)
+    counts = np.bincount(np.asarray(picks), minlength=4) / 3000
+    assert counts[1] > 0.99
+
+
+def test_select_candidate_jit_and_errors():
+    from qinfer_tpu.expdesign import select_candidate
+    import pytest as _pytest
+
+    scores = jnp.asarray([0.0, 1.0])
+    idx = jax.jit(lambda k, s: select_candidate(k, s, policy="softmax"))(
+        jax.random.key(0), scores)
+    assert int(idx) in (0, 1)
+    with _pytest.raises(ValueError, match="policy"):
+        select_candidate(jax.random.key(0), scores, policy="ucb")

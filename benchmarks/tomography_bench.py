@@ -393,21 +393,29 @@ def main():
             carry = (st, key, true_mps, rec_out0, rec_eps0)
         else:
             carry = (st, key, true_mps)
+        chunk_walls = []
         for c in range(n_chunks):
+            t0 = time.perf_counter()
             carry = run_chunk(carry, jnp.int32(c * C))
-            if n_chunks > 1:
-                jax.block_until_ready(carry[0].weights)
+            jax.block_until_ready(carry[0].weights)
+            chunk_walls.append(time.perf_counter() - t0)
         acc = carry[5] if sufficient else None
-        return carry[0], carry[2], acc
+        return carry[0], carry[2], acc, chunk_walls
 
     k0 = jax.random.key(1)
-    final, _, _ = run(state, k0)
+    final, _, _, _ = run(state, k0)
     jax.block_until_ready(final.weights)  # compile + warmup
 
     t0 = time.perf_counter()
-    final, final_true, acc_total = run(state, jax.random.key(2))
+    final, final_true, acc_total, chunk_walls = run(
+        state, jax.random.key(2))
     jax.block_until_ready(final.weights)
     dt = time.perf_counter() - t0
+    # tunnel pathology guard (PERF_NOTES rule #8): a chunk whose wall
+    # reads ~0 was served from host-side caching, not executed fresh —
+    # flag the timing as unreliable rather than report a fantasy number
+    timing_suspect = n_chunks > 1 and (min(chunk_walls) < 1e-3
+                                       or dt < 0.01 * n_chunks)
 
     # host-side fidelity (scipy; keeps complex math off the device);
     # time-dependent runs score against the DIFFUSED final truth
@@ -444,6 +452,8 @@ def main():
         "resamples": n_resamples,
         "mean_move_acceptance": mean_acc,
         "wall_s": round(dt, 2),
+        "chunk_walls_s": [round(w, 3) for w in chunk_walls],
+        "timing_suspect": timing_suspect,
     }))
 
 

@@ -59,6 +59,25 @@ class TomographyModel(DifferentiableModel, FiniteOutcomeModel):
                 "represented")
         self.allow_subnormalized = False
         self.psd_tol = float(psd_tol)
+        if 2 * int(basis.dim) > 32 and jax.default_backend() == "tpu":
+            # The lane-Jacobi PSD-projection kernels gate at embedded
+            # d ≤ 32 (ops/jacobi.py); past it every resample/diffusion
+            # projection falls back to jnp.linalg.eigh — measured
+            # 3.63 s/call at (5e4, 32, 32) on v5e and strictly worse at
+            # 64 (docs/PERF_NOTES.md, probe_d32.py). Correct but ~100%
+            # of wall. Warn at construction so the cliff is visible
+            # before the first multi-second dispatch.
+            import warnings
+
+            from .._exceptions import PerformanceWarning
+
+            warnings.warn(
+                f"TomographyModel with Hilbert dimension {basis.dim} "
+                f"(embedded {2 * basis.dim} > 32) exceeds the TPU "
+                "lane-Jacobi projection gate: PSD projections fall back "
+                "to jnp.linalg.eigh at seconds per call "
+                "(docs/PERF_NOTES.md 'latent d>32 cliff')",
+                PerformanceWarning, stacklevel=2)
 
     @property
     def dim(self):

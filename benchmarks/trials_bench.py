@@ -47,6 +47,12 @@ def main():
                         help="override the resample fill strategy "
                              "(vmap mode auto-falls-back to 'scan' if the "
                              "Pallas kernel rejects the batch dimension)")
+    parser.add_argument("--interval", type=int, default=0,
+                        help="resample_interval: check the ESS gate only "
+                        "every K steps (0 = every step). Synchronizes "
+                        "vmapped trials' resample-eligible steps, "
+                        "bounding the select-masked resample body to "
+                        "steps/K executions (VERDICT r3 #8)")
     args = parser.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -70,7 +76,8 @@ def main():
     def run(tag, n_trials, mesh, resampler):
         runner, keys = perf_test_scan_batch(
             model, n, prior, n_exp, n_trials, mesh=mesh,
-            resampler=resampler, seed=11, return_runner=True)
+            resampler=resampler, seed=11,
+            resample_interval=args.interval, return_runner=True)
         rec = jax.block_until_ready(runner(keys))   # compile + warm
         t0 = time.perf_counter()
         rec = jax.block_until_ready(runner(keys))
@@ -80,6 +87,7 @@ def main():
         loss = np.asarray(rec["loss"])
         out = {
             "metric": f"trials_{tag}_aggregate_updates_per_s",
+            "resample_interval": args.interval,
             "n_trials": n_trials,
             "n_particles": n,
             "n_steps": n_exp,

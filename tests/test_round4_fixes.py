@@ -124,3 +124,28 @@ def test_tomography_d_gt_32_warns_on_tpu(monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error", PerformanceWarning)
         tomo.TomographyModel(b)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #8: interval-gated resampling in perf_test_scan_batch
+# ---------------------------------------------------------------------------
+
+def test_scan_batch_resample_interval():
+    """interval=1 gates every step — identical to the ungated default;
+    a long interval produces fewer, synchronized resamples but still
+    converges (the vmap-mode performance lever)."""
+    from qinfer_tpu.perf_testing import perf_test_scan_batch
+
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    rec0 = perf_test_scan_batch(model, 1024, prior, 40, n_trials=3,
+                                seed=9, resample_interval=0)
+    rec1 = perf_test_scan_batch(model, 1024, prior, 40, n_trials=3,
+                                seed=9, resample_interval=1)
+    np.testing.assert_allclose(np.asarray(rec0["loss"]),
+                               np.asarray(rec1["loss"]), rtol=1e-5)
+    rec8 = perf_test_scan_batch(model, 1024, prior, 40, n_trials=3,
+                                seed=9, resample_interval=8)
+    # still converges by orders of magnitude despite 1/8 the gate steps
+    loss = np.asarray(rec8["loss"])
+    assert np.median(loss[:, -1] / np.maximum(loss[:, 0], 1e-30)) < 1e-2

@@ -81,6 +81,10 @@ def main():
                         "argmax, the measured-myopic baseline)")
     parser.add_argument("--eig-epsilon", type=float, default=0.25,
                         help="exploration rate for --eig-policy egreedy")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="offsets every PRNG stream (prior draw, "
+                        "truth-independent run keys) — seed 0 reproduces "
+                        "the round-3 published numbers")
     args = parser.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -278,7 +282,7 @@ def main():
             eps["n_meas"] = shots_arr
             return eps
 
-    k_prior, k_run = jax.random.split(jax.random.key(0))
+    k_prior, k_run = jax.random.split(jax.random.key(3 * args.seed))
     state = SMCState.initial(prior.sample(k_prior, n), k_run)
 
     n_moves = int(args.moves)
@@ -402,13 +406,13 @@ def main():
         acc = carry[5] if sufficient else None
         return carry[0], carry[2], acc, chunk_walls
 
-    k0 = jax.random.key(1)
+    k0 = jax.random.key(3 * args.seed + 1)
     final, _, _, _ = run(state, k0)
     jax.block_until_ready(final.weights)  # compile + warmup
 
     t0 = time.perf_counter()
     final, final_true, acc_total, chunk_walls = run(
-        state, jax.random.key(2))
+        state, jax.random.key(3 * args.seed + 2))
     jax.block_until_ready(final.weights)
     dt = time.perf_counter() - t0
     # tunnel pathology guard (PERF_NOTES rule #8): a chunk whose wall

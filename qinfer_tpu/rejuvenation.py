@@ -162,9 +162,18 @@ def binomial_record_log_likelihood(two_outcome_model, locations, succ,
 
 
 def _mh_moves(model, prior, key, locations, record_ll, n_moves,
-              proposal_scale, keyed):
+              proposal_scale, keyed, canonicalize=True):
     """Shared Metropolis-Hastings core: ``n_moves`` random-walk steps per
     particle targeting prior × ``record_ll``.
+
+    ``canonicalize=False`` skips the final ``model.canonicalize`` pass:
+    every ACCEPTED proposal already passed ``model.are_models_valid``, so
+    the ensemble is within the model's validity tolerance without it —
+    the pass is strict-constraint hygiene (e.g. exact-PSD projection),
+    not correctness. On TPU tomography configs past embedded d = 16 the
+    projection is ~90% of the whole move-call cost (docs/PERF_NOTES.md
+    round 4), so cost-sensitive callers disable it and accept locations
+    within ``psd_tol`` of the cone.
 
     Proposal: Gaussian random walk with covariance
     ``(proposal_scale² / d) · Σ_ensemble`` (the Roberts-Gelman-Gilks
@@ -210,11 +219,13 @@ def _mh_moves(model, prior, key, locations, record_ll, n_moves,
     lp0 = posterior_lp(locations, k_init)
     (x, _), acc = jax.lax.scan(
         body, (locations, lp0), jax.random.split(k_scan, n_moves))
-    return model.canonicalize(x), jnp.mean(acc)
+    if canonicalize:
+        x = model.canonicalize(x)
+    return x, jnp.mean(acc)
 
 
 def mcmc_rejuvenate(model, prior, key, locations, outcomes, eps_record,
-                    mask, n_moves, proposal_scale=2.38):
+                    mask, n_moves, proposal_scale=2.38, canonicalize=True):
     """Apply ``n_moves`` Metropolis-Hastings steps to every particle,
     targeting prior × masked-record likelihood (full-record form: one
     (T, n) likelihood pass per MH evaluation).
@@ -228,11 +239,12 @@ def mcmc_rejuvenate(model, prior, key, locations, outcomes, eps_record,
             model, x, outcomes, eps_record, mask, key=k if keyed else None)
 
     return _mh_moves(model, prior, key, locations, record_ll, n_moves,
-                     proposal_scale, keyed)
+                     proposal_scale, keyed, canonicalize=canonicalize)
 
 
 def mcmc_rejuvenate_binomial(model, prior, key, locations, succ, trials,
-                             eps_pool, n_moves, proposal_scale=2.38):
+                             eps_pool, n_moves, proposal_scale=2.38,
+                             canonicalize=True):
     """Sufficient-statistic twin of :func:`mcmc_rejuvenate` for records of
     Bernoulli/binomial outcomes over a finite candidate pool: SAME target
     (the record constant cancels in the MH ratio), SAME key consumption,
@@ -259,11 +271,13 @@ def mcmc_rejuvenate_binomial(model, prior, key, locations, succ, trials,
                                               eps_pool)
 
     return _mh_moves(model, prior, key, locations, record_ll, n_moves,
-                     proposal_scale, keyed=False)
+                     proposal_scale, keyed=False,
+                     canonicalize=canonicalize)
 
 
 #: Jitted entries for host-side callers (``SMCUpdater._rejuvenate_now``).
-mcmc_rejuvenate_jit = partial(jax.jit, static_argnames=("n_moves",))(
-    mcmc_rejuvenate)
+mcmc_rejuvenate_jit = partial(
+    jax.jit, static_argnames=("n_moves", "canonicalize"))(mcmc_rejuvenate)
 mcmc_rejuvenate_binomial_jit = partial(
-    jax.jit, static_argnames=("n_moves",))(mcmc_rejuvenate_binomial)
+    jax.jit, static_argnames=("n_moves", "canonicalize"))(
+    mcmc_rejuvenate_binomial)

@@ -172,3 +172,31 @@ def test_updater_compressed_record_matches_full(batch):
     sd = float(jnp.sqrt(u_full.est_covariance_mtx()[0, 0]))
     assert abs(m_full - m_comp) < 5 * sd
     assert abs(m_comp - 0.43) < 6 * sd
+
+
+def test_rejuvenate_no_canonicalize_stays_valid():
+    """canonicalize=False must still return only validity-gated locations
+    (accepted proposals passed are_models_valid; rejected keep originals)
+    and match the canonicalized chain wherever projection is a no-op."""
+    import qinfer_tpu.tomography as tomo
+    from qinfer_tpu.rejuvenation import mcmc_rejuvenate_binomial
+
+    b = tomo.pauli_basis(1)
+    model = tomo.TomographyModel(b)
+    prior = tomo.GinibreDistribution(b)
+    x = model.canonicalize(prior.sample(jax.random.key(0), 512))
+    eps_pool = {"meas": jnp.asarray(
+        np.eye(4, dtype=np.float32) * np.sqrt(2))}
+    succ = jnp.asarray([30.0, 10.0, 20.0, 5.0])
+    trials = jnp.asarray([50.0, 50.0, 50.0, 50.0])
+
+    key = jax.random.key(4)
+    x_canon, acc1 = mcmc_rejuvenate_binomial(
+        model, prior, key, x, succ, trials, eps_pool, 3)
+    x_raw, acc2 = mcmc_rejuvenate_binomial(
+        model, prior, key, x, succ, trials, eps_pool, 3,
+        canonicalize=False)
+    assert float(acc1) == float(acc2)  # identical chains pre-projection
+    assert bool(np.all(np.asarray(model.are_models_valid(x_raw))))
+    # projection only nudges marginal rows: small bounded difference
+    assert float(jnp.max(jnp.abs(x_raw - x_canon))) < 5e-2

@@ -413,20 +413,33 @@ def main():
         acc = carry[5] if sufficient else None
         return carry[0], carry[2], acc, chunk_walls
 
+    # warmup run: pays the compile inside its first chunk; later chunks
+    # are clean executions (kept as the timing fallback below)
     k0 = jax.random.key(3 * args.seed + 1)
-    final, _, _, _ = run(state, k0)
-    jax.block_until_ready(final.weights)  # compile + warmup
+    _, _, _, warm_walls = run(state, k0)
 
+    # timed run: a FRESH prior ensemble (different key), so no layer of
+    # the tunnel's host-side result caching can serve stale buffers
+    state2 = SMCState.initial(
+        prior.sample(jax.random.fold_in(k_prior, 7), n), k_run)
     t0 = time.perf_counter()
     final, final_true, acc_total, chunk_walls = run(
-        state, jax.random.key(3 * args.seed + 2))
+        state2, jax.random.key(3 * args.seed + 2))
     jax.block_until_ready(final.weights)
     dt = time.perf_counter() - t0
     # tunnel pathology guard (PERF_NOTES rule #8): a chunk whose wall
-    # reads ~0 was served from host-side caching, not executed fresh —
-    # flag the timing as unreliable rather than report a fantasy number
+    # reads ~0 was served from host-side caching, not executed fresh.
+    # Fall back to the warmup's post-compile chunks (scaled to the full
+    # chunk count) before declaring the timing unusable.
     timing_suspect = n_chunks > 1 and (min(chunk_walls) < 1e-3
                                        or dt < 0.01 * n_chunks)
+    if timing_suspect and n_chunks > 1 and min(warm_walls[1:]) > 1e-3:
+        dt = sum(warm_walls[1:]) * n_chunks / (n_chunks - 1)
+        chunk_walls = warm_walls
+        timing_suspect = False
+        timing_source = "warmup_chunks"
+    else:
+        timing_source = "timed_run"
 
     # host-side fidelity (scipy; keeps complex math off the device);
     # time-dependent runs score against the DIFFUSED final truth
@@ -465,6 +478,7 @@ def main():
         "wall_s": round(dt, 2),
         "chunk_walls_s": [round(w, 3) for w in chunk_walls],
         "timing_suspect": timing_suspect,
+        "timing_source": timing_source,
     }))
 
 

@@ -98,6 +98,33 @@ SLOW_TESTS = {
     "test_simple_est_prec_ndarray",
     "test_resampler_enforces_strict_canonicalize",
     "test_liu_west_bootstrap_degenerate",
+    "test_gated_resample_traced_predicate_in_scan",
+    "test_scan_batch_resample_interval",
+    "test_mh_chain_equivalence",
+    "test_updater_compressed_record_matches_full",
+    "test_smc_inference_with_calibration",
+    "test_score_mixin_matches_autodiff",
+    "test_ale_smc_inference",
+    "test_beta_binomial",
+    "test_ginibre_rank1_is_pure",
+    "test_haar_uniform_qutrit",
+    "test_ginibre_uniform",
+    "test_postselected",
+    "test_crosscheck_rb",
+    "test_crosscheck_tomography",
+    "test_crosscheck_ramsey",
+    "test_engine_call_counters",
+    "test_track_resampling_divergence",
+    "test_batch_update_equivalent_convergence",
+    "test_resampler_fallback_warns_and_counts",
+    "test_bcrb_fresh_updater_does_not_raise",
+    "test_sharded_scan_loop",
+    "test_sharded_updater_convergence_and_sharding_preserved",
+    "test_batch_update_commits_prefix_on_zero_weight",
+    "test_perf_test_multiple_serial_and_injected_apply",
+    "test_perf_test_scan_matches_host_loop_statistically",
+    "test_gadfli_concentrates_near_fiducial",
+    "test_random_pauli_heuristic_effects_valid",
 }
 
 

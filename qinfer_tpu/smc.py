@@ -360,14 +360,16 @@ def _update_step_eager(model, resampler, state, outcome, eps,
 
 
 @partial(jax.jit, static_argnames=("resample_interval", "check_resample",
-                                   "n_mcmc_moves", "sufficient"))
+                                   "n_mcmc_moves", "sufficient",
+                                   "mcmc_canonicalize"))
 def _batch_update(model, resampler, state, outcomes, eps_batch,
                   resample_thresh, zero_weight_thresh,
                   resample_interval=5, check_resample=True,
                   prior=None, rec_outcomes=None, rec_eps=None, n_past=0,
                   n_mcmc_moves=0, proposal_scale=2.38,
                   sufficient=False, pool_eps=None, pool_idx=None,
-                  succ0=None, trials0=None, succ_inc=None, trials_inc=None):
+                  succ0=None, trials0=None, succ_inc=None, trials_inc=None,
+                  mcmc_canonicalize=True):
     """``lax.scan`` over a whole experiment record.
 
     Reference parity: ``smc.py::SMCUpdater.batch_update(resample_interval)``
@@ -417,7 +419,8 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
                 key, sub = jax.random.split(s.key)
                 x, _ = mcmc_rejuvenate_binomial(
                     model, prior, sub, s.locations, succ, trials,
-                    pool_eps, n_mcmc_moves, proposal_scale)
+                    pool_eps, n_mcmc_moves, proposal_scale,
+                    canonicalize=mcmc_canonicalize)
                 return s._replace(locations=x, key=key)
 
             new_st = jax.lax.cond(new_st.just_resampled, move,
@@ -432,7 +435,8 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
                         < (n_past + idx + 1))
                 x, _ = mcmc_rejuvenate(
                     model, prior, sub, s.locations, rec_outcomes, rec_eps,
-                    mask, n_mcmc_moves, proposal_scale)
+                    mask, n_mcmc_moves, proposal_scale,
+                    canonicalize=mcmc_canonicalize)
                 return s._replace(locations=x, key=key)
 
             new_st = jax.lax.cond(new_st.just_resampled, move,
@@ -583,6 +587,12 @@ class SMCUpdater:
         models and ``BinomialModel`` counts) so each MH evaluation costs
         O(E·n) in the number of DISTINCT experiments instead of O(T·n) in
         the record length.
+    :param bool mcmc_canonicalize: re-apply ``model.canonicalize`` after
+        each rejuvenation call (default). ``False`` skips the strict
+        projection — accepted proposals already satisfy
+        ``model.are_models_valid``, and on TPU tomography configs past
+        embedded d = 16 the projection is ~90% of the move-call cost
+        (docs/PERF_NOTES.md round 4).
     """
 
     def __init__(self, model, n_particles, prior,
@@ -592,7 +602,7 @@ class SMCUpdater:
                  zero_weight_policy="error", zero_weight_thresh=None,
                  canonicalize=True, seed=0, sharding=None,
                  n_mcmc_moves=0, mcmc_proposal_scale=2.38,
-                 compress_mcmc_record=False):
+                 compress_mcmc_record=False, mcmc_canonicalize=True):
         self.model = model
         self.prior = prior
         self._n_particles = int(n_particles)
@@ -608,6 +618,7 @@ class SMCUpdater:
         self.sharding = sharding
         self.n_mcmc_moves = int(n_mcmc_moves)
         self.mcmc_proposal_scale = float(mcmc_proposal_scale)
+        self.mcmc_canonicalize = bool(mcmc_canonicalize)
         if self.n_mcmc_moves > 0:
             # resample-move targets prior × Π likelihood over the record —
             # only meaningful for STATIC parameters and tractable priors;
@@ -927,7 +938,8 @@ class SMCUpdater:
                 succ_inc=jnp.asarray(s_inc, jnp.float32),
                 trials_inc=jnp.asarray(t_inc, jnp.float32),
                 n_mcmc_moves=self.n_mcmc_moves,
-                proposal_scale=self.mcmc_proposal_scale)
+                proposal_scale=self.mcmc_proposal_scale,
+                mcmc_canonicalize=self.mcmc_canonicalize)
         elif self.n_mcmc_moves > 0:
             n_past = len(self._eps_record)
             if n_past:
@@ -954,7 +966,8 @@ class SMCUpdater:
                 prior=self.prior, rec_outcomes=rec_outcomes,
                 rec_eps=rec_eps, n_past=jnp.asarray(n_past, jnp.int32),
                 n_mcmc_moves=self.n_mcmc_moves,
-                proposal_scale=self.mcmc_proposal_scale)
+                proposal_scale=self.mcmc_proposal_scale,
+                mcmc_canonicalize=self.mcmc_canonicalize)
         new_state, log_norms = _batch_update(
             self.model, self.resampler, self._state, outcomes, eps,
             self.resample_thresh, self.zero_weight_thresh,
@@ -1177,7 +1190,8 @@ class SMCUpdater:
             x, _ = mcmc_rejuvenate_binomial_jit(
                 self.model, self.prior, sub, st.locations, succ, trials,
                 pool_eps, n_moves=self.n_mcmc_moves,
-                proposal_scale=self.mcmc_proposal_scale)
+                proposal_scale=self.mcmc_proposal_scale,
+                canonicalize=self.mcmc_canonicalize)
             self._state = st._replace(locations=x, key=key)
             return
         from .rejuvenation import mcmc_rejuvenate_jit
@@ -1197,7 +1211,8 @@ class SMCUpdater:
         x, _ = mcmc_rejuvenate_jit(
             self.model, self.prior, sub, st.locations, outs, eps_rec,
             mask, n_moves=self.n_mcmc_moves,
-            proposal_scale=self.mcmc_proposal_scale)
+            proposal_scale=self.mcmc_proposal_scale,
+            canonicalize=self.mcmc_canonicalize)
         self._state = st._replace(locations=x, key=key)
 
     # -- estimators --------------------------------------------------------

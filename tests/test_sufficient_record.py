@@ -200,3 +200,32 @@ def test_rejuvenate_no_canonicalize_stays_valid():
     assert bool(np.all(np.asarray(model.are_models_valid(x_raw))))
     # projection only nudges marginal rows: small bounded difference
     assert float(jnp.max(jnp.abs(x_raw - x_canon))) < 5e-2
+
+
+def test_updater_mcmc_canonicalize_flag():
+    """SMCUpdater(mcmc_canonicalize=False) runs both engine paths and
+    keeps a valid, converged posterior."""
+    u = None
+    two = q.SimplePrecessionModel()
+    model = q.BinomialModel(two, n_meas_max=12)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    pool_t = np.asarray([0.5, 1.7, 3.1, 6.4], np.float32)
+    rng = np.random.default_rng(5)
+    ts = pool_t[rng.integers(0, 4, size=20)]
+    eps = {"t": jnp.asarray(ts), "n_meas": jnp.full((20,), 12, jnp.int32)}
+    outs = np.asarray(model.simulate_experiment(
+        jax.random.key(6), jnp.array([[0.43]]), eps))[0]
+    u = q.SMCUpdater(model, 512, prior, seed=7, n_mcmc_moves=3,
+                     compress_mcmc_record=True, mcmc_canonicalize=False,
+                     zero_weight_policy="reset")
+    u.batch_update(jnp.asarray(outs[:12]), {k: v[:12] for k, v in
+                                            eps.items()},
+                   resample_interval=3)
+    for i in range(12, 20):  # sequential path too
+        u.update(int(outs[i]), {"t": eps["t"][i:i + 1],
+                                "n_meas": eps["n_meas"][i:i + 1]})
+    m = float(u.est_mean()[0])
+    sd = float(np.sqrt(u.est_covariance_mtx()[0, 0]))
+    assert abs(m - 0.43) < 6 * sd
+    assert bool(np.all(np.asarray(
+        model.are_models_valid(u.particle_locations))))

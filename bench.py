@@ -52,7 +52,7 @@ N_REPEATS = 3              # timed repetitions (best taken)
 BASELINE = 1e7             # driver north star: particle-updates/s/chip
 
 
-def build_run(engine="fused", n_particles=N_PARTICLES):
+def build_run(engine="fused", n_particles=N_PARTICLES, interval=0):
     import qinfer_tpu as q
     from qinfer_tpu.smc import SMCState, _update_step_impl
     from qinfer_tpu.resamplers import LiuWestResampler
@@ -88,9 +88,12 @@ def build_run(engine="fused", n_particles=N_PARTICLES):
         eps = pgh.propose(k_pgh, st.weights, st.locations, idx)
         outcome = model.simulate_experiment(k_sim, true_omega, eps)
         outcome = jnp.asarray(outcome).reshape(-1)[0]
+        gate = ((idx % interval) == (interval - 1)
+                if interval > 0 else None)
         new_st, _, _ = _update_step_impl(
             model, resampler, st, outcome, eps,
-            resample_thresh, zero_thresh, check_resample=True)
+            resample_thresh, zero_thresh, check_resample=True,
+            resample_gate=gate)
         return (new_st, key), ()
 
     @jax.jit
@@ -113,9 +116,17 @@ def main():
     parser.add_argument("--engine", choices=["fused", "xla"],
                         default="fused")
     parser.add_argument("--particles", type=int, default=N_PARTICLES)
+    parser.add_argument("--interval", type=int, default=0,
+                        help="check the ESS resample condition only every "
+                        "K-th step (reference batch_update default is 5; "
+                        "0 = every step, the headline protocol). The "
+                        "default metric is UNCHANGED; this measures the "
+                        "interval-gated variant (docs/PERF_NOTES.md "
+                        "round 4)")
     args = parser.parse_args()
 
-    run, make_state = build_run(args.engine, args.particles)
+    run, make_state = build_run(args.engine, args.particles,
+                                args.interval)
 
     # Warmup / compile
     state, key = make_state(0)

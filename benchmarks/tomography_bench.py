@@ -161,21 +161,45 @@ def main():
             for k in kets]), dtype=jnp.float32)  # (4^nq, dd^2)
         n_fid = fid.shape[0]
 
-        def propose_with_pool_idx(key, weights, locations, idx):
-            k1, k2 = jax.random.split(key)
-            i = jax.random.randint(k1, (), 0, n_fid)
-            j = jax.random.randint(k2, (), 0, n_fid)
-            return ({"prep": fid[i][None], "meas": fid[j][None]},
-                    i * n_fid + j)
-
-        def propose(key, weights, locations, idx):
-            return propose_with_pool_idx(key, weights, locations, idx)[0]
-
         # the full (prep, meas) candidate pool, for sufficient-statistic
-        # rejuvenation (E = n_fid² experiments, leading axis E)
+        # rejuvenation AND adaptive design (E = n_fid² experiments)
         pool_eps = {"prep": jnp.repeat(fid, n_fid, axis=0),
                     "meas": jnp.tile(fid, (n_fid, 1))}
         n_pool = n_fid * n_fid
+
+        if args.eig:
+            # adaptive fiducial selection: score the whole pool by the
+            # TWO-OUTCOME expected information gain of the underlying
+            # process model (the binomial count EIG over a 65-outcome
+            # grid would cost 65x per step; single-shot EIG is a
+            # monotone proxy for fixed n_meas) and pick with
+            # --eig-policy. Composition demo: design stack x flagship.
+            from qinfer_tpu.smc import _expected_information_gain
+            from qinfer_tpu.expdesign import select_candidate
+
+            eig_mask = jnp.ones((2, n_pool), jnp.float32)
+            eig_outcomes = jnp.arange(2)
+            two_model = model  # bind BEFORE any BinomialModel rebind
+
+            def propose_with_pool_idx(key, weights, locations, idx):
+                scores = _expected_information_gain(
+                    two_model, weights, locations, eig_outcomes,
+                    eig_mask, pool_eps)
+                pick = select_candidate(key, scores,
+                                        policy=args.eig_policy,
+                                        epsilon=args.eig_epsilon)
+                return ({"prep": pool_eps["prep"][pick][None],
+                         "meas": pool_eps["meas"][pick][None]}, pick)
+        else:
+            def propose_with_pool_idx(key, weights, locations, idx):
+                k1, k2 = jax.random.split(key)
+                i = jax.random.randint(k1, (), 0, n_fid)
+                j = jax.random.randint(k2, (), 0, n_fid)
+                return ({"prep": fid[i][None], "meas": fid[j][None]},
+                        i * n_fid + j)
+
+        def propose(key, weights, locations, idx):
+            return propose_with_pool_idx(key, weights, locations, idx)[0]
     elif args.diffusive:
         b2 = tomo.pauli_basis(2)
         model = tomo.DiffusiveTomographyModel(
@@ -275,10 +299,10 @@ def main():
             raise SystemExit("--shots requires a time-independent "
                              "two-outcome config (--process or plain "
                              "state tomography)")
-        if args.eig:
-            raise SystemExit("--shots with --eig unsupported: the EIG "
-                             "grid scores the two-outcome model; score-"
-                             "then-repeat is a different design policy")
+        if args.eig and not args.process:
+            raise SystemExit("--shots with --eig is only supported for "
+                             "--process (the pool scorer binds the "
+                             "two-outcome model explicitly there)")
         model = q.BinomialModel(model, n_meas_max=args.shots)
         shots_arr = jnp.full((1,), args.shots, jnp.int32)
         _propose_two = propose

@@ -262,15 +262,18 @@ def main():
             0.5 * (eye_coords[None, :]
                    + np.sqrt(d) * np.eye(basis.n_ops))[1:],
             dtype=jnp.float32)
-        propose = heur.propose
+
+        # the projector pool doubles as the sufficient-statistic
+        # rejuvenation candidate set (d²−1 Pauli projectors)
+        pool_eps = {"meas": heur.proj_coords}
+        n_pool = heur.proj_coords.shape[0]
 
         if args.eig:
             # adaptive design: score EVERY Pauli projector by expected
             # information gain (the MXU two-matmul contraction,
             # smc._expected_information_gain) and select per
-            # --eig-policy — 'greedy' is the round-3 argmax (measured to
-            # LOSE to random at long horizons: one-step myopia);
-            # 'egreedy'/'softmax' are the round-4 non-myopic mitigations
+            # --eig-policy — 'greedy' is the round-3 argmax;
+            # 'egreedy'/'softmax' are the round-4 stochastic policies
             # (qinfer_tpu.expdesign.select_candidate)
             from qinfer_tpu.smc import _expected_information_gain
             from qinfer_tpu.expdesign import select_candidate
@@ -278,15 +281,24 @@ def main():
             cand = heur.proj_coords                   # (n_cand, d²)
             eig_mask = jnp.ones((2, cand.shape[0]), jnp.float32)
             eig_outcomes = jnp.arange(2)
+            two_model = model  # bind BEFORE any BinomialModel rebind
 
-            def propose(key, weights, locations, idx):
+            def propose_with_pool_idx(key, weights, locations, idx):
                 scores = _expected_information_gain(
-                    model, weights, locations, eig_outcomes, eig_mask,
-                    {"meas": cand})
+                    two_model, weights, locations, eig_outcomes,
+                    eig_mask, {"meas": cand})
                 pick = select_candidate(
                     key, scores, policy=args.eig_policy,
                     epsilon=args.eig_epsilon)
-                return {"meas": cand[pick][None]}
+                return {"meas": cand[pick][None]}, pick
+        else:
+            def propose_with_pool_idx(key, weights, locations, idx):
+                k1, _ = jax.random.split(key)
+                pick = jax.random.randint(k1, (), 0, n_pool)
+                return {"meas": heur.proj_coords[pick][None]}, pick
+
+        def propose(key, weights, locations, idx):
+            return propose_with_pool_idx(key, weights, locations, idx)[0]
 
     tomo_model = model  # coordinate<->state conversions stay on the base
     if args.shots > 0:
@@ -299,10 +311,6 @@ def main():
             raise SystemExit("--shots requires a time-independent "
                              "two-outcome config (--process or plain "
                              "state tomography)")
-        if args.eig and not args.process:
-            raise SystemExit("--shots with --eig is only supported for "
-                             "--process (the pool scorer binds the "
-                             "two-outcome model explicitly there)")
         model = q.BinomialModel(model, n_meas_max=args.shots)
         shots_arr = jnp.full((1,), args.shots, jnp.int32)
         _propose_two = propose
@@ -324,7 +332,7 @@ def main():
     # record collapses EXACTLY to per-candidate success/trial totals and
     # each MH evaluation costs one (n, E) pool pass instead of a (T, n)
     # record pass — rejuvenation cost no longer grows with the horizon.
-    sufficient = n_moves > 0 and args.process
+    sufficient = n_moves > 0 and (args.process or not args.diffusive)
     if n_moves > 0 and not sufficient:
         from qinfer_tpu.rejuvenation import mcmc_rejuvenate
 

@@ -252,3 +252,57 @@ def test_process_tomography_calibration():
     err0 = np.linalg.norm(np.asarray(rec["est"])[:, 0, :]
                           - np.asarray(rec["true_mps"]), axis=1)
     assert np.median(err) < 0.8 * np.median(err0)
+
+
+def test_process_tomography_compressed_record_calibration():
+    """Coverage/PIT for the ROUND-4 engine path: BinomialModel counts +
+    compress_mcmc_record sufficient-statistic moves + mcmc_canonicalize
+    =False (the flagship recipe, VERDICT r3 #5 'coverage unchanged'
+    criterion). The compressed target is pinned exact elsewhere
+    (test_sufficient_record); this checks the END-TO-END posterior is
+    still calibrated on dim-4 process tomography."""
+    import qinfer_tpu.tomography as tomo
+    from qinfer_tpu.tomography.models import ProcessTomographyModel
+
+    b1 = tomo.pauli_basis(1)
+    b2 = tomo.pauli_basis(2)
+    two = ProcessTomographyModel(b2, b1)
+    model = q.BinomialModel(two, n_meas_max=16)
+    prior = tomo.BCSZChoiDistribution(b2)
+
+    kets = np.asarray(
+        [[1, 0], [0, 1],
+         [1 / np.sqrt(2), 1 / np.sqrt(2)],
+         [1 / np.sqrt(2), 1j / np.sqrt(2)]], dtype=np.complex64)
+    fid = jnp.asarray(np.stack([
+        np.asarray(b1.state_to_modelparams(np.outer(k, k.conj())))
+        for k in kets]), dtype=jnp.float32)
+
+    n_trials, n_steps, n_particles = 28, 24, 1536
+    rng = np.random.default_rng(2024)
+    w_fin, x_fin, truths = [], [], []
+    for t in range(n_trials):
+        true_mps = prior.sample(jax.random.key(10_000 + t), 1)
+        prep_idx = rng.integers(0, 4, n_steps)
+        meas_idx = rng.integers(0, 4, n_steps)
+        eps = {"prep": fid[prep_idx], "meas": fid[meas_idx],
+               "n_meas": jnp.full((n_steps,), 16, jnp.int32)}
+        outs = model.simulate_experiment(
+            jax.random.key(20_000 + t), true_mps, eps)[0]
+        u = q.SMCUpdater(model, n_particles, prior, seed=30_000 + t,
+                         n_mcmc_moves=3, compress_mcmc_record=True,
+                         mcmc_canonicalize=False,
+                         zero_weight_policy="reset")
+        u.batch_update(outs, eps, resample_interval=3)
+        w_fin.append(np.asarray(u.particle_weights))
+        x_fin.append(np.asarray(u.particle_locations))
+        truths.append(np.asarray(true_mps)[0])
+
+    rec = {"final_weights": np.stack(w_fin),
+           "final_locations": np.stack(x_fin),
+           "true_mps": np.stack(truths)}
+    # a spread of UNCONSTRAINED Choi coordinates (coords 3/7/11 are
+    # pinned to constants by trace preservation — prior sd exactly 0 —
+    # so their PIT is degenerate by construction)
+    _assert_calibrated(rec, [0, 5, 14], n_trials,
+                       "process tomography (compressed record)")

@@ -81,6 +81,12 @@ def main():
                         "argmax, the measured-myopic baseline)")
     parser.add_argument("--eig-epsilon", type=float, default=0.25,
                         help="exploration rate for --eig-policy egreedy")
+    parser.add_argument("--interval", type=int, default=0,
+                        help="check the ESS resample condition only "
+                        "every K-th step (reference batch_update "
+                        "semantics; 0 = every step). Fewer resamples "
+                        "means fewer resample-move events on the "
+                        "flagship configs")
     parser.add_argument("--no-move-canonicalize", action="store_true",
                         help="skip the strict PSD re-projection at the "
                         "end of each rejuvenation call (accepted "
@@ -371,9 +377,11 @@ def main():
         if bool(model.is_time_dependent):
             key, k_ts = jax.random.split(key)
             true = model.update_timestep(k_ts, true, eps)[:, :, 0]
+        gate = ((idx % args.interval) == (args.interval - 1)
+                if args.interval > 0 else None)
         new_st, _, _ = _update_step_impl(
             model, resampler, st, outcome, eps, 0.5, 1e-10,
-            check_resample=True)
+            check_resample=True, resample_gate=gate)
         if sufficient:
             # success := underlying-outcome-0 count (BinomialModel
             # convention); single-shot outcomes are Bernoulli bits

@@ -88,8 +88,9 @@ def build_run(engine="fused", n_particles=N_PARTICLES, interval=0):
         eps = pgh.propose(k_pgh, st.weights, st.locations, idx)
         outcome = model.simulate_experiment(k_sim, true_omega, eps)
         outcome = jnp.asarray(outcome).reshape(-1)[0]
-        gate = ((idx % interval) == (interval - 1)
-                if interval > 0 else None)
+        from qinfer_tpu.smc import resample_interval_gate
+
+        gate = resample_interval_gate(idx, interval)
         new_st, _, _ = _update_step_impl(
             model, resampler, st, outcome, eps,
             resample_thresh, zero_thresh, check_resample=True,

@@ -94,9 +94,19 @@ def main():
                         "projection is ~90%% of the move-call cost at "
                         "embedded d=32 — VERDICT r3 #5 cost bound)")
     parser.add_argument("--seed", type=int, default=0,
-                        help="offsets every PRNG stream (prior draw, "
-                        "truth-independent run keys) — seed 0 reproduces "
-                        "the round-3 published numbers")
+                        help="offsets every PRNG stream (prior draw, run "
+                        "keys). NOTE: round-4 changed the proposal key "
+                        "consumption and the timed run's initial "
+                        "ensemble, so no seed reproduces round-3 "
+                        "trajectories bit-for-bit")
+    parser.add_argument("--record", default="auto",
+                        choices=["auto", "full"],
+                        help="rejuvenation record form for --moves: "
+                        "'auto' uses the sufficient-statistic pool "
+                        "whenever the config has a finite candidate "
+                        "pool; 'full' forces the O(T·n)-per-evaluation "
+                        "full-record path (the round-3 form, kept "
+                        "reachable for cost comparisons)")
     args = parser.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -338,7 +348,8 @@ def main():
     # record collapses EXACTLY to per-candidate success/trial totals and
     # each MH evaluation costs one (n, E) pool pass instead of a (T, n)
     # record pass — rejuvenation cost no longer grows with the horizon.
-    sufficient = n_moves > 0 and (args.process or not args.diffusive)
+    sufficient = (n_moves > 0 and args.record != "full"
+                  and (args.process or not args.diffusive))
     if n_moves > 0 and not sufficient:
         from qinfer_tpu.rejuvenation import mcmc_rejuvenate
 
@@ -377,8 +388,9 @@ def main():
         if bool(model.is_time_dependent):
             key, k_ts = jax.random.split(key)
             true = model.update_timestep(k_ts, true, eps)[:, :, 0]
-        gate = ((idx % args.interval) == (args.interval - 1)
-                if args.interval > 0 else None)
+        from qinfer_tpu.smc import resample_interval_gate
+
+        gate = resample_interval_gate(idx, args.interval)
         new_st, _, _ = _update_step_impl(
             model, resampler, st, outcome, eps, 0.5, 1e-10,
             check_resample=True, resample_gate=gate)

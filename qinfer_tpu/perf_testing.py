@@ -306,8 +306,9 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
                 # the TRUE parameters evolve alongside the particles
                 key, k_ts = jax.random.split(key)
                 true = model.update_timestep(k_ts, true, eps)[:, :, 0]
-            gate = ((idx % resample_interval) == (resample_interval - 1)
-                    if resample_interval > 0 else None)
+            from .smc import resample_interval_gate
+
+            gate = resample_interval_gate(idx, resample_interval)
             new_st, _, _ = _update_step_impl(
                 model, resampler, st, outcome, eps,
                 resample_thresh, zero_thresh, check_resample=True,

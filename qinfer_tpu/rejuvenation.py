@@ -150,15 +150,28 @@ def binomial_record_log_likelihood(two_outcome_model, locations, succ,
     (n, E) log-probability matrices contract against the statistics
     vectors as two matvecs.
 
+    Floor semantics: BOTH outcome probabilities are floored at
+    ``_LL_FLOOR`` independently (p₀ for successes, 1−p₀ for failures), so
+    an impossible observation contributes ``log(_LL_FLOOR)`` ≈ −85 PER
+    TRIAL — at least as negative as the full-record path's −85-per-STEP
+    floor. The two targets therefore agree up to the constant wherever
+    neither floors (everywhere with posterior mass) and the compressed
+    form is conservatively LOWER on floored states. (An earlier upper
+    clip of p₀ at 1−1e-7 floored failures at only −16 per trial, letting
+    boundary particles that observed failures be accepted with ~e⁶⁹
+    higher odds than the full-record target — caught by round-4 review;
+    regression-pinned in tests/test_sufficient_record.py.)
+
     :param two_outcome_model: the UNWRAPPED two-outcome model (success :=
         outcome 0, matching ``BinomialModel``'s convention).
     :return: (n,) per-particle record log-likelihood, up to the constant C.
     """
     L0 = two_outcome_model.likelihood(
         jnp.array([0]), locations, eps_pool)[0]          # (n, E)
-    p0 = jnp.clip(L0, _LL_FLOOR, 1.0 - 1e-7)
+    p0 = jnp.clip(L0, _LL_FLOOR, 1.0)
+    q0 = jnp.clip(1.0 - L0, _LL_FLOOR, 1.0)
     return (jnp.log(p0) @ succ.astype(p0.dtype)
-            + jnp.log1p(-p0) @ (trials - succ).astype(p0.dtype))
+            + jnp.log(q0) @ (trials - succ).astype(q0.dtype))
 
 
 def _mh_moves(model, prior, key, locations, record_ll, n_moves,

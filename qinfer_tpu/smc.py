@@ -211,6 +211,20 @@ def _reweight(model, weights, locations, outcome, eps, k_like):
     return weights * ell, norm, jnp.log(jnp.maximum(norm, EPS))
 
 
+def resample_interval_gate(idx, resample_interval):
+    """Traced 'this step is resample-ELIGIBLE' predicate for interval-
+    gated scanned loops (``perf_test_scan_batch``, the benches): fires on
+    every K-th step; ``resample_interval <= 0`` returns ``None`` (gate
+    EVERY step). NOTE the deliberate convention difference vs
+    ``SMCUpdater.batch_update(resample_interval)``, where 0 means NEVER
+    check (its ``check_now`` collapses to False) — runners treat 0 as
+    "ungated" because they have no other way to say "check every step".
+    Centralized here so the modulo convention lives in one place."""
+    if resample_interval > 0:
+        return (idx % resample_interval) == (resample_interval - 1)
+    return None
+
+
 def _gated_resample(resampler, model, sub, do_resample, w, x):
     """Run ONE resample iff ``do_resample`` (a traced bool), as a 0/1-trip
     ``lax.while_loop``.
@@ -692,6 +706,8 @@ class SMCUpdater:
         self.data_record = []
         self.normalization_record = []
         self._eps_record = []  # per-experiment expparams (rejuvenation)
+        self._n_record = 0     # rejuvenation record length (compress
+                               # mode stores no per-experiment dicts)
         # compressed rejuvenation record: host-side dedupe of experiments
         # into a candidate pool with per-candidate success/trial totals
         self._pool_index = {}   # eps bytes -> pool row
@@ -860,9 +876,14 @@ class SMCUpdater:
         self.normalization_record.append(
             float(np.exp(np.float64(log_norm))))
         if self.n_mcmc_moves > 0:
-            self._eps_record.append(eps)
+            self._n_record += 1
             if self.compress_mcmc_record:
+                # compressed mode keeps only the sufficient statistics —
+                # storing every expparams dict would defeat the memory
+                # side of record compression at long horizons
                 self._accumulate_record(outcome, eps)
+            else:
+                self._eps_record.append(eps)
             if bool(new_state.just_resampled):
                 self._rejuvenate_now()
 
@@ -914,22 +935,18 @@ class SMCUpdater:
             # ride as scan inputs, so the in-scan rejuvenation sees exactly
             # the statistics of everything observed so far.
             n_batch = int(outcomes.shape[0])
+            # hoist ALL device→host transfers out of the dedupe loop:
+            # one sync per array instead of O(n_batch × n_fields)
+            outs_host = np.asarray(outcomes).reshape(n_batch, -1)[:, 0]
+            eps_host = {k: np.asarray(v) for k, v in eps.items()}
             idx_rows, s_inc, t_inc = [], [], []
             for i in range(n_batch):
-                eps_i = expparams_at(eps, i)
-                key_bytes, eps_two, n_meas = self._pool_key_and_eps(eps_i)
-                row = self._pool_index.get(key_bytes)
-                if row is None:
-                    row = len(self._pool_eps)
-                    self._pool_index[key_bytes] = row
-                    self._pool_eps.append(eps_two)
-                    self._pool_succ.append(0.0)
-                    self._pool_trials.append(0.0)
+                eps_i = {k: v[i:i + 1] for k, v in eps_host.items()}
+                row, si, ti = self._pool_row_and_increment(
+                    outs_host[i], eps_i)
                 idx_rows.append(row)
-                o = float(np.asarray(outcomes[i]).ravel()[0])
-                s_inc.append(o if self._record_is_binomial
-                             else (1.0 if o == 0 else 0.0))
-                t_inc.append(float(n_meas))
+                s_inc.append(si)
+                t_inc.append(ti)
             pool_eps, succ0, trials0 = self._pool_arrays()
             move_kwargs = dict(
                 prior=self.prior, sufficient=True, pool_eps=pool_eps,
@@ -1021,8 +1038,10 @@ class SMCUpdater:
         self.data_record.extend(np.asarray(outcomes).tolist())
         self.normalization_record.extend(norms.tolist())
         if self.n_mcmc_moves > 0:
-            for i in range(int(outcomes.shape[0])):
-                self._eps_record.append(expparams_at(eps, i))
+            self._n_record += int(outcomes.shape[0])
+            if not self.compress_mcmc_record:
+                for i in range(int(outcomes.shape[0])):
+                    self._eps_record.append(expparams_at(eps, i))
             if self.compress_mcmc_record:
                 # commit this batch's sufficient-statistic increments
                 # (pool rows were created before the scan; totals only
@@ -1122,35 +1141,41 @@ class SMCUpdater:
         }
         return outs, eps_rec
 
-    def _pool_key_and_eps(self, eps):
-        """Host-side canonical (bytes key, two-outcome eps) for one
-        experiment: the ``n_meas`` field rides in the trial totals, not the
-        pool identity."""
-        eps_np = {k: np.asarray(v) for k, v in eps.items()}
+    def _pool_row_and_increment(self, outcome_val, eps_np):
+        """The ONE place the sufficient-statistic conventions live
+        (success := underlying outcome 0, the ``BinomialModel``
+        convention; Bernoulli bits are n=1 binomials; ``n_meas`` rides in
+        the trial totals, not the pool identity). Takes HOST numpy values
+        — callers hoist any device→host conversion — creates the pool row
+        if new, and returns ``(row, success_inc, trial_inc)`` WITHOUT
+        touching the totals (batch callers commit increments only when
+        the whole batch commits)."""
+        eps_np = dict(eps_np)
         n_meas = 1
         if self._record_is_binomial:
             n_meas = int(eps_np.pop("n_meas").ravel()[0])
         key_bytes = b"\x00".join(
             k.encode() + b"=" + np.ascontiguousarray(eps_np[k]).tobytes()
             for k in sorted(eps_np))
-        return key_bytes, eps_np, n_meas
+        row = self._pool_index.get(key_bytes)
+        if row is None:
+            row = len(self._pool_eps)
+            self._pool_index[key_bytes] = row
+            self._pool_eps.append(eps_np)
+            self._pool_succ.append(0.0)
+            self._pool_trials.append(0.0)
+        o = float(outcome_val)
+        s_inc = o if self._record_is_binomial else (1.0 if o == 0 else 0.0)
+        return row, s_inc, float(n_meas)
 
     def _accumulate_record(self, outcome, eps):
         """Fold one committed (outcome, experiment) into the per-candidate
-        sufficient statistics (success := underlying outcome 0, the
-        ``BinomialModel`` convention; Bernoulli bits are n=1 binomials)."""
-        key_bytes, eps_two, n_meas = self._pool_key_and_eps(eps)
-        idx = self._pool_index.get(key_bytes)
-        if idx is None:
-            idx = len(self._pool_eps)
-            self._pool_index[key_bytes] = idx
-            self._pool_eps.append(eps_two)
-            self._pool_succ.append(0.0)
-            self._pool_trials.append(0.0)
-        o = float(np.asarray(outcome).ravel()[0])
-        self._pool_succ[idx] += o if self._record_is_binomial \
-            else (1.0 if o == 0 else 0.0)
-        self._pool_trials[idx] += float(n_meas)
+        sufficient statistics."""
+        eps_np = {k: np.asarray(v) for k, v in eps.items()}
+        row, s_inc, t_inc = self._pool_row_and_increment(
+            np.asarray(outcome).ravel()[0], eps_np)
+        self._pool_succ[row] += s_inc
+        self._pool_trials[row] += t_inc
 
     def _pool_arrays(self):
         """The compressed record as device buffers, padded to a power of
@@ -1178,7 +1203,8 @@ class SMCUpdater:
         prior × record-likelihood (sequential-API path; the scanned paths
         inline the same kernel). The record is padded to the next power of
         two so the jitted kernel retraces O(log T) times, not per step."""
-        T = len(self._eps_record)
+        T = (self._n_record if self.compress_mcmc_record
+             else len(self._eps_record))
         if T == 0:
             return
         if self.compress_mcmc_record:

@@ -229,3 +229,38 @@ def test_updater_mcmc_canonicalize_flag():
     assert abs(m - 0.43) < 6 * sd
     assert bool(np.all(np.asarray(
         model.are_models_valid(u.particle_locations))))
+
+
+def test_boundary_particles_not_favored():
+    """Round-4 review finding: an upper clip of p0 at 1-1e-7 floored an
+    observed FAILURE's contribution at only ~-16 per trial (vs the
+    full-record path's -85 per step), letting boundary particles whose
+    f32 likelihood saturates to 1.0 be accepted with ~e^69 higher odds
+    than the full-record target. The compressed record must score such
+    states at least as low as the full record (up to the record
+    constant)."""
+    from scipy.special import gammaln
+
+    two = q.SimplePrecessionModel()
+    model = q.BinomialModel(two, n_meas_max=4)
+    # t=3.0, outcome 3 of 4: a particle at omega ~ 0 has pr0 -> 1.0
+    # exactly in f32 yet observed one failure
+    eps_rec = {"t": jnp.asarray([3.0], jnp.float32),
+               "n_meas": jnp.asarray([4], jnp.int32)}
+    outcomes = jnp.asarray([3], jnp.int32)
+    succ = jnp.asarray([3.0])
+    trials = jnp.asarray([4.0])
+    pool_eps = {"t": jnp.asarray([3.0], jnp.float32)}
+    x = jnp.asarray([[1e-7], [0.43]])  # boundary particle + normal one
+
+    full = np.asarray(record_log_likelihood(
+        model, x, outcomes, eps_rec, jnp.ones(1, bool)), np.float64)
+    comp = np.asarray(binomial_record_log_likelihood(
+        two, x, succ, trials, pool_eps), np.float64)
+    const = float(gammaln(5) - gammaln(4) - gammaln(2))  # log C(4,3)
+    # normal particle: exact constant difference
+    np.testing.assert_allclose(full[1] - comp[1], const, atol=1e-3)
+    # boundary particle: the compressed score must never exceed the full
+    # score by MORE than the record constant (pre-fix it exceeded it by
+    # +69 nats, an e^69 acceptance bias toward the boundary)
+    assert comp[0] - full[0] <= const + 1e-3, (full[0], comp[0])

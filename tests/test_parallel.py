@@ -147,6 +147,32 @@ def test_sharded_rejuvenation_runs_and_preserves_sharding():
     assert len(u.particle_locations.sharding.device_set) == 8
 
 
+def test_sharded_compressed_rejuvenation():
+    """The round-4 sufficient-statistic rejuvenation under a sharded
+    particle axis: the (n, E) pool likelihood pass and the MH reductions
+    must cross the sharding exactly like the full-record path, with the
+    conjugate Beta posterior recovered and the sharding preserved."""
+    import scipy.stats as st
+
+    pm = ParticleMesh()
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=20)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    counts = jnp.asarray([14, 15, 13, 14, 14], jnp.int32)
+    eps = {"exp_num": jnp.zeros((5,), jnp.int32),
+           "n_meas": jnp.full((5,), 20, jnp.int32)}
+    u = q.SMCUpdater(model, 4000, prior, seed=5, n_mcmc_moves=5,
+                     resample_thresh=0.9, sharding=pm.particle_sharding,
+                     compress_mcmc_record=True, mcmc_canonicalize=False)
+    u.batch_update(counts, eps, resample_interval=1)
+    assert len(u._pool_eps) == 1  # one distinct experiment, 100 trials
+    assert u._pool_trials[0] == 100.0
+    ref = st.beta(71, 31)
+    assert abs(float(u.est_mean()[0]) - ref.mean()) < 0.02
+    assert abs(float(jnp.sqrt(u.est_covariance_mtx()[0, 0]))
+               - ref.std()) < 0.015
+    assert len(u.particle_locations.sharding.device_set) == 8
+
+
 class MockDirectView:
     """Serial stand-in for an ipyparallel DirectView (the reference's test
     pattern)."""

@@ -237,8 +237,15 @@ class ExperimentDesigner:
             else:
                 best_x, stored = self._best_guess
                 base_eps = dict(stored)
+                best_risk = self._best_risk  # keep disp/diagnostics
+                # consistent with the restored guess
 
-        out = dict(base_eps)
+        # ONE designed experiment: slice every field to the first row —
+        # _risk_of scored candidates against experiment 0's other fields,
+        # so returning full-length companions would pair the designed
+        # value with experiments that were never evaluated (and hand
+        # callers a dict with mismatched leading axes)
+        out = {k: v[:1] for k, v in base_eps.items()}
         field_dtype = np.asarray(base_eps[field]).dtype
         if np.issubdtype(field_dtype, np.integer):
             # round (and re-clamp) BEFORE the dtype cast: _risk_of scored
@@ -260,6 +267,14 @@ class ExperimentDesigner:
         is clipped to the caller's ``bounds``."""
         lo = x0 / 10.0 if x0 > 0 else x0 - 1.0
         hi = x0 * 10.0 if x0 > 0 else x0 + 1.0
+        # explicit finite bounds DEFINE the initial search domain: the
+        # x0-heuristic window only ever shrinks under zooming, so without
+        # this it could never reach an optimum past 10·x0 even when the
+        # caller's bounds allow it
+        if np.isfinite(lo_b):
+            lo = lo_b
+        if np.isfinite(hi_b):
+            hi = hi_b
         best_x, best_risk = x0, np.inf
         for _ in range(max(1, int(n_zoom))):
             lo, hi = max(lo, lo_b), min(hi, hi_b)

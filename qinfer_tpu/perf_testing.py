@@ -83,7 +83,10 @@ def perf_test(model, n_particles, prior, n_exp, heuristic_class=PGH,
         eps = heuristic(idx)
         key, k_sim, k_ts = jax.random.split(key, 3)
         outcome = true_model.simulate_experiment(k_sim, current_true, eps)
-        if hasattr(true_model, "update_timestep"):
+        # gate on the engine's trace-time hook: every Simulatable defines
+        # a default update_timestep, so a hasattr check is always true
+        # and would pay a per-step identity dispatch for static models
+        if bool(true_model.is_time_dependent):
             current_true = true_model.update_timestep(
                 k_ts, current_true, eps)[:, :, 0]
         updater.update(outcome, eps)
@@ -369,7 +372,8 @@ def perf_test_scan_batch(model, n_particles, prior, n_exp, n_trials,
     n_dev = mesh.shape[axis_name]
     if n_trials % n_dev:
         raise ValueError(
-            f"n_trials={n_trials} must divide mesh size {n_dev}")
+            f"mesh size {n_dev} must divide n_trials={n_trials} "
+            "(equal trial blocks per device)")
 
     def shard_fn(keys_block):
         # sequential trials within the shard keep real cond branching

@@ -229,7 +229,13 @@ def _mh_moves(model, prior, key, locations, record_ll, n_moves,
         return (x, lp), jnp.mean(accept.astype(jnp.float32))
 
     k_init, k_scan = jax.random.split(key)
-    lp0 = posterior_lp(locations, k_init)
+    if keyed:
+        # MCWM bodies re-evaluate BOTH sides with common random numbers
+        # every round, so the carried lp is never read — skip the O(T·n)
+        # initialization pass entirely (zeros keep the carry shape)
+        lp0 = jnp.zeros(n, locations.dtype)
+    else:
+        lp0 = posterior_lp(locations, k_init)
     (x, _), acc = jax.lax.scan(
         body, (locations, lp0), jax.random.split(k_scan, n_moves))
     if canonicalize:

@@ -417,7 +417,7 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
         else:
             st = carry
             outcome, eps, idx = inp
-        gate = ((idx % resample_interval) == (resample_interval - 1)
+        gate = (resample_interval_gate(idx, resample_interval)
                 if check_now else None)
         new_st, log_norm, _ = _update_step_impl(
             model, resampler, st, outcome, eps,
@@ -935,6 +935,11 @@ class SMCUpdater:
             # ride as scan inputs, so the in-scan rejuvenation sees exactly
             # the statistics of everything observed so far.
             n_batch = int(outcomes.shape[0])
+            # snapshot the pool so a zero-weight 'error' replay can roll
+            # back rows registered for never-committed experiments
+            # (phantom zero-total rows are harmless to the likelihood but
+            # would permanently inflate E and every later pool pass)
+            pool_snapshot = len(self._pool_eps)
             # hoist ALL device→host transfers out of the dedupe loop:
             # one sync per array instead of O(n_batch × n_fields)
             outs_host = np.asarray(outcomes).reshape(n_batch, -1)[:, 0]
@@ -1006,6 +1011,16 @@ class SMCUpdater:
             # rewound first; the per-step replay re-counts it.
             self.model._bump("_call_count",
                              -int(outcomes.shape[0]) * self.n_particles)
+            if self.n_mcmc_moves > 0 and self.compress_mcmc_record:
+                # roll the candidate pool back to its pre-batch state:
+                # the replay re-registers (and commits) rows only for the
+                # experiments that actually commit before the raise
+                self._pool_eps = self._pool_eps[:pool_snapshot]
+                self._pool_succ = self._pool_succ[:pool_snapshot]
+                self._pool_trials = self._pool_trials[:pool_snapshot]
+                self._pool_index = {
+                    kb: i for kb, i in self._pool_index.items()
+                    if i < pool_snapshot}
             n_batch = int(outcomes.shape[0])
             check_now = resample_interval > 0
             interval = max(int(resample_interval), 1)

@@ -264,3 +264,34 @@ def test_boundary_particles_not_favored():
     # score by MORE than the record constant (pre-fix it exceeded it by
     # +69 nats, an e^69 acceptance bias toward the boundary)
     assert comp[0] - full[0] <= const + 1e-3, (full[0], comp[0])
+
+
+def test_error_replay_rolls_back_phantom_pool_rows():
+    """zero_weight_policy='error' + compress: pool rows registered for
+    batch experiments that never commit must be rolled back (phantom
+    zero-total rows would permanently inflate E and every later pool
+    pass)."""
+    from qinfer_tpu._exceptions import ZeroWeightError
+
+    two = q.SimplePrecessionModel()
+    model = q.BinomialModel(two, n_meas_max=8)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    # step 2 is impossible: t=0 makes Pr(outcome 0 | any omega) = 1
+    # exactly, so observing 8 failures (count 0 is all-success; count 8
+    # of underlying outcome 1... success:=outcome0 so counts=0 means all
+    # failures) annihilates every weight
+    ts = np.asarray([0.7, 1.9, 0.0, 3.7, 5.1], np.float32)
+    outs = np.asarray([4, 5, 0, 3, 6], np.int64)
+    eps = {"t": jnp.asarray(ts), "n_meas": jnp.full((5,), 8, jnp.int32)}
+    u = q.SMCUpdater(model, 256, prior, seed=3, n_mcmc_moves=2,
+                     compress_mcmc_record=True,
+                     zero_weight_policy="error")
+    with pytest.raises(ZeroWeightError):
+        u.batch_update(jnp.asarray(outs), eps, resample_interval=2)
+    # only the committed prefix's experiments remain in the pool
+    assert len(u._pool_eps) == len(u._pool_succ) == len(u._pool_trials)
+    assert len(u._pool_index) == len(u._pool_eps)
+    committed = len(u.data_record)
+    distinct_committed = len({float(ts[i]) for i in range(committed)})
+    assert len(u._pool_eps) == distinct_committed
+    assert sum(u._pool_trials) == committed * 8

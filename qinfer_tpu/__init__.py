@@ -111,7 +111,7 @@ from .derived_models import (  # noqa: E402
 from .rb import RandomizedBenchmarkingModel, p_to_F, F_to_p  # noqa: E402
 from .ale import ALEApproximateModel, binom_est_p, binom_est_error  # noqa: E402
 from .expdesign import (ExperimentDesigner, OptimizationAlgorithms,  # noqa: E402
-                        select_candidate)
+                        select_candidate, design_from_candidates)
 from .perf_testing import perf_test, perf_test_multiple  # noqa: E402
 from .simple_est import simple_est_prec, simple_est_rb, load_data  # noqa: E402
 from .parallel import (  # noqa: E402

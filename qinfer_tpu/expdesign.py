@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .finite_difference import FiniteDifference
 
 __all__ = ["ExperimentDesigner", "OptimizationAlgorithms",
-           "select_candidate"]
+           "select_candidate", "design_from_candidates"]
 
 
 def select_candidate(key, scores, policy="greedy", epsilon=0.1,
@@ -81,6 +81,45 @@ def select_candidate(key, scores, policy="greedy", epsilon=0.1,
         return jnp.argmax(z + g).astype(jnp.int32)
     raise ValueError(f"unknown candidate-selection policy {policy!r} "
                      "(greedy | egreedy | softmax)")
+
+
+def design_from_candidates(updater, candidate_eps, key=None,
+                           policy="greedy", epsilon=0.1, temperature=None,
+                           utility="information_gain"):
+    """Score a FINITE pool of candidate experiments against the updater's
+    posterior and select ONE (the discrete-pool sibling of
+    :meth:`ExperimentDesigner.design_expparams_field`, which optimizes a
+    continuous field). This is the design loop the round-4 tomography
+    flagship runs per step — scoring the whole pool is one batched MXU
+    contraction, and the stochastic policies avoid greedy's axis
+    starvation on informationally-complete pools (docs/PERF_NOTES.md
+    round 4).
+
+    :param updater: an :class:`~qinfer_tpu.smc.SMCUpdater`.
+    :param candidate_eps: expparams pytree with leading axis = pool size.
+    :param key: PRNG key for the stochastic policies (required for
+        ``egreedy``/``softmax``; ignored by ``greedy``).
+    :param str utility: ``'information_gain'`` (maximized) or ``'risk'``
+        (``bayes_risk``, minimized — scores are negated before
+        selection).
+    :return: ``(eps_one, index)`` — the selected single-experiment dict
+        and its pool index.
+    """
+    if utility == "information_gain":
+        scores = updater.expected_information_gain(candidate_eps)
+    elif utility == "risk":
+        scores = -updater.bayes_risk(candidate_eps)
+    else:
+        raise ValueError(f"unknown utility {utility!r} "
+                         "(information_gain | risk)")
+    if key is None:
+        if policy != "greedy":
+            raise ValueError(f"policy {policy!r} is stochastic: pass key=")
+        key = jax.random.key(0)
+    idx = int(select_candidate(key, scores, policy=policy,
+                               epsilon=epsilon, temperature=temperature))
+    eps = updater.model.canonicalize_expparams(candidate_eps)
+    return {k: v[idx:idx + 1] for k, v in eps.items()}, idx
 
 
 class OptimizationAlgorithms(enum.Enum):

@@ -331,3 +331,33 @@ def test_select_candidate_jit_and_errors():
     assert int(idx) in (0, 1)
     with _pytest.raises(ValueError, match="policy"):
         select_candidate(jax.random.key(0), scores, policy="ucb")
+
+
+def test_design_from_candidates():
+    """The discrete-pool designer: scores a finite expparams pool by EIG
+    or risk and returns one canonicalized experiment + its index."""
+    from qinfer_tpu.expdesign import design_from_candidates
+
+    model = q.SimplePrecessionModel()
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    u = q.SMCUpdater(model, 2000, prior, seed=0)
+    pool = {"t": jnp.asarray([0.1, 1.0, 5.0, 20.0], jnp.float32)}
+
+    eps, idx = design_from_candidates(u, pool)  # greedy EIG
+    assert eps["t"].shape == (1,)
+    assert float(eps["t"][0]) == float(pool["t"][idx])
+    # greedy over EIG == argmax of the scored pool
+    assert idx == int(jnp.argmax(u.expected_information_gain(pool)))
+
+    # risk utility: greedy pick minimizes bayes_risk
+    eps_r, idx_r = design_from_candidates(u, pool, utility="risk")
+    assert idx_r == int(jnp.argmin(u.bayes_risk(pool)))
+
+    # stochastic policies need a key...
+    with pytest.raises(ValueError, match="stochastic"):
+        design_from_candidates(u, pool, policy="softmax")
+    eps_s, idx_s = design_from_candidates(u, pool, policy="softmax",
+                                          key=jax.random.key(3))
+    assert 0 <= idx_s < 4
+    with pytest.raises(ValueError, match="utility"):
+        design_from_candidates(u, pool, utility="loss")

@@ -81,6 +81,14 @@ def main():
                         "argmax, the measured-myopic baseline)")
     parser.add_argument("--eig-epsilon", type=float, default=0.25,
                         help="exploration rate for --eig-policy egreedy")
+    parser.add_argument("--waste-free", type=int, default=0,
+                        help="replace the Liu-West resample + K moves "
+                        "with waste-free resample-move (Dau-Chopin): "
+                        "resample n/P ancestors and keep every state of "
+                        "a (P-1)-step chain. P must divide --particles; "
+                        "requires --moves semantics via the sufficient "
+                        "record (set --moves > 0 to enable the path; "
+                        "the move count itself is ignored)")
     parser.add_argument("--interval", type=int, default=0,
                         help="check the ESS resample condition only "
                         "every K-th step (reference batch_update "
@@ -362,7 +370,8 @@ def main():
                                  v.dtype) for k, v in eps0.items()}
         rec_out0 = jnp.zeros((args.steps,), jnp.int32)
     if sufficient:
-        from qinfer_tpu.rejuvenation import mcmc_rejuvenate_binomial
+        from qinfer_tpu.rejuvenation import (
+            mcmc_rejuvenate_binomial, waste_free_rejuvenate_binomial)
 
         succ0 = jnp.zeros((n_pool,), jnp.float32)
         trials0 = jnp.zeros((n_pool,), jnp.float32)
@@ -391,9 +400,13 @@ def main():
         from qinfer_tpu.smc import resample_interval_gate
 
         gate = resample_interval_gate(idx, args.interval)
+        use_wf = sufficient and args.waste_free > 0
         new_st, _, _ = _update_step_impl(
             model, resampler, st, outcome, eps, 0.5, 1e-10,
-            check_resample=True, resample_gate=gate)
+            # waste-free REPLACES the resample entirely: the update step
+            # only reweights, and the ESS gate below triggers the
+            # resample-move in one shot
+            check_resample=not use_wf, resample_gate=gate)
         if sufficient:
             # success := underlying-outcome-0 count (BinomialModel
             # convention); single-shot outcomes are Bernoulli bits
@@ -405,6 +418,33 @@ def main():
                 n_trials = jnp.float32(1.0)
             succ = succ.at[pool_idx].add(n_succ)
             trials = trials.at[pool_idx].add(n_trials)
+
+            if use_wf:
+                ess = 1.0 / jnp.sum(new_st.weights * new_st.weights)
+                do_wf = ess <= 0.5 * n
+                if args.interval > 0:
+                    do_wf = do_wf & resample_interval_gate(
+                        idx, args.interval)
+
+                def wf(s):
+                    key2, sub = jax.random.split(s.key)
+                    w2, x2, acc = waste_free_rejuvenate_binomial(
+                        model, prior, sub, s.weights, s.locations,
+                        succ, trials, pool_eps, args.waste_free,
+                        args.proposal_scale,
+                        canonicalize=not args.no_move_canonicalize)
+                    return s._replace(
+                        weights=w2, locations=x2, key=key2,
+                        just_resampled=jnp.asarray(True),
+                        resample_count=s.resample_count + 1), acc
+
+                new_st, acc = jax.lax.cond(
+                    do_wf, wf,
+                    lambda s: (s._replace(
+                        just_resampled=jnp.asarray(False)),
+                        jnp.float32(0.0)), new_st)
+                acc_sum = acc_sum + acc
+                return (new_st, key, true, succ, trials, acc_sum), ()
 
             def move(s):
                 key2, sub = jax.random.split(s.key)

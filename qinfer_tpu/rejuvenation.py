@@ -38,7 +38,8 @@ from .utils import sqrtm_psd
 __all__ = ["resolve_prior_log_pdf", "record_log_likelihood",
            "binomial_record_log_likelihood",
            "mcmc_rejuvenate", "mcmc_rejuvenate_jit",
-           "mcmc_rejuvenate_binomial", "mcmc_rejuvenate_binomial_jit"]
+           "mcmc_rejuvenate_binomial", "mcmc_rejuvenate_binomial_jit",
+           "waste_free_rejuvenate", "waste_free_rejuvenate_binomial"]
 
 #: floor for linear likelihoods before log (exact zeros would make the MH
 #: ratio -inf − -inf = NaN when both states are impossible). 1e-37 — NOT
@@ -292,6 +293,117 @@ def mcmc_rejuvenate_binomial(model, prior, key, locations, succ, trials,
     return _mh_moves(model, prior, key, locations, record_ll, n_moves,
                      proposal_scale, keyed=False,
                      canonicalize=canonicalize)
+
+
+def _waste_free_core(model, prior, key, weights, locations, record_ll,
+                     n_stages, proposal_scale, canonicalize):
+    """Waste-free resample-move (Dau & Chopin 2022): resample M = n/P
+    ancestors, run P−1 Metropolis steps per ancestor, and keep EVERY
+    chain state as a particle — n states from only (P−1)·M ≈ n MH
+    evaluations, versus K·n for K standard post-resample moves of the
+    same total chain depth. Each chain state is marginally
+    posterior-distributed (the kernel is posterior-invariant), so the
+    output ensemble carries uniform weights.
+
+    The proposal covariance comes from the FULL weighted pre-resample
+    ensemble (Roberts-Gelman-Gilks scaling), not the collapsed ancestor
+    set. Returns ``(uniform_weights, locations, mean_acceptance)``.
+    """
+    from .resamplers import counting_ancestors_from_u
+
+    n, d = locations.shape
+    P = int(n_stages)
+    if n % P:
+        raise ValueError(f"n_stages={P} must divide n_particles={n}")
+    M = n // P
+    log_pdf = resolve_prior_log_pdf(prior)
+
+    # weighted ensemble covariance for the proposal
+    mu = jnp.sum(weights[:, None] * locations, axis=0)
+    xc = locations - mu[None, :]
+    cov = (weights[:, None] * xc).T @ xc \
+        + 1e-10 * jnp.eye(d, dtype=locations.dtype)
+    chol = jnp.linalg.cholesky(cov)
+    chol = jax.lax.cond(
+        jnp.any(jnp.isnan(chol)), lambda _: sqrtm_psd(cov),
+        lambda _: chol, None)
+    step = (proposal_scale / jnp.sqrt(float(d))) * chol
+
+    k_anc, k_init, k_scan = jax.random.split(key, 3)
+    u = jax.random.uniform(k_anc, ())
+    anc = counting_ancestors_from_u(u, weights, M)     # (M,) sorted
+    x0 = locations[anc]                                # (M, d)
+
+    def posterior_lp(x):
+        return record_ll(x, None) + log_pdf(x)
+
+    lp0 = posterior_lp(x0)
+
+    def body(carry, k):
+        x, lp = carry
+        k_prop, k_acc = jax.random.split(k)
+        prop = x + jax.random.normal(k_prop, (M, d), x.dtype) @ step.T
+        valid = model.are_models_valid(prop)
+        lp_prop = posterior_lp(prop)
+        log_u = jnp.log(jax.random.uniform(k_acc, (M,), x.dtype))
+        accept = valid & (log_u < lp_prop - lp)
+        x = jnp.where(accept[:, None], prop, x)
+        lp = jnp.where(accept, lp_prop, lp)
+        return (x, lp), (x, jnp.mean(accept.astype(jnp.float32)))
+
+    (_, _), (chain, acc) = jax.lax.scan(
+        body, (x0, lp0), jax.random.split(k_scan, P - 1))
+    # (P-1, M, d) chain states + the ancestors themselves = P·M = n
+    out = jnp.concatenate([x0[None], chain], axis=0).reshape(n, d)
+    if canonicalize:
+        out = model.canonicalize(out)
+    w = jnp.full((n,), 1.0 / n, locations.dtype)
+    return w, out, jnp.mean(acc)
+
+
+def waste_free_rejuvenate_binomial(model, prior, key, weights, locations,
+                                   succ, trials, eps_pool, n_stages,
+                                   proposal_scale=2.38, canonicalize=True):
+    """Waste-free resample-move over a compressed binomial record (the
+    sufficient-statistic target of :func:`mcmc_rejuvenate_binomial`).
+    Replaces BOTH the resample and the post-resample moves: call instead
+    of the resampler when the ESS gate fires.
+    """
+    from .derived_models import BinomialModel
+
+    two = model.underlying_model if isinstance(model, BinomialModel) \
+        else model
+    if getattr(two, "wants_likelihood_key", False):
+        raise ValueError(
+            "waste-free rejuvenation requires a deterministic two-outcome "
+            "likelihood (see mcmc_rejuvenate_binomial)")
+
+    def record_ll(x, _k):
+        return binomial_record_log_likelihood(two, x, succ, trials,
+                                              eps_pool)
+
+    return _waste_free_core(model, prior, key, weights, locations,
+                            record_ll, n_stages, proposal_scale,
+                            canonicalize)
+
+
+def waste_free_rejuvenate(model, prior, key, weights, locations, outcomes,
+                          eps_record, mask, n_stages, proposal_scale=2.38,
+                          canonicalize=True):
+    """Full-record waste-free resample-move (general models; O(T·M) per
+    MH evaluation instead of O(T·n))."""
+    if getattr(model, "wants_likelihood_key", False):
+        raise ValueError(
+            "waste-free rejuvenation requires a deterministic likelihood "
+            "(MCWM re-estimation is incompatible with keeping every "
+            "chain state as a particle)")
+
+    def record_ll(x, _k):
+        return record_log_likelihood(model, x, outcomes, eps_record, mask)
+
+    return _waste_free_core(model, prior, key, weights, locations,
+                            record_ll, n_stages, proposal_scale,
+                            canonicalize)
 
 
 #: Jitted entries for host-side callers (``SMCUpdater._rejuvenate_now``).

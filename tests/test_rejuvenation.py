@@ -147,3 +147,59 @@ def test_rejuvenated_updater_matches_conjugate_posterior():
     assert abs(float(u.est_mean()[0]) - ref.mean()) < 0.02
     assert abs(float(jnp.sqrt(u.est_covariance_mtx()[0, 0]))
                - ref.std()) < 0.015
+
+
+# ---------------------------------------------------------------------------
+# Waste-free resample-move (Dau & Chopin) — round 4
+# ---------------------------------------------------------------------------
+
+def test_waste_free_recovers_conjugate_posterior():
+    """CoinModel + binomial record has a Beta(1+s, 1+f) conjugate
+    posterior: waste-free resample-move from a reweighted prior ensemble
+    must land on it (mean/std), with every chain state kept (shape n) and
+    uniform output weights."""
+    import scipy.stats as st
+    from qinfer_tpu.rejuvenation import waste_free_rejuvenate_binomial
+
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=20)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    n = 4096
+    key = jax.random.key(0)
+    x = prior.sample(key, n)
+    # observed: 70 successes / 100 trials over one repeated experiment
+    succ = jnp.asarray([70.0])
+    trials = jnp.asarray([100.0])
+    pool_eps = {"exp_num": jnp.zeros((1,), jnp.int32)}
+
+    # importance-reweight the prior ensemble toward the posterior first
+    # (waste-free replaces the RESAMPLE: it expects meaningful weights)
+    from qinfer_tpu.rejuvenation import binomial_record_log_likelihood
+    ll = binomial_record_log_likelihood(q.CoinModel(), x, succ, trials,
+                                        pool_eps)
+    w = jax.nn.softmax(ll)
+
+    w2, x2, acc = waste_free_rejuvenate_binomial(
+        model, prior, jax.random.key(7), w, x, succ, trials, pool_eps,
+        n_stages=8)
+    assert x2.shape == (n, 1)
+    np.testing.assert_allclose(np.asarray(w2), 1.0 / n)
+    assert 0.05 < float(acc) < 0.95
+
+    ref = st.beta(71, 31)
+    xs = np.asarray(x2)[:, 0]
+    assert abs(xs.mean() - ref.mean()) < 0.01
+    assert abs(xs.std() - ref.std()) < 0.012
+
+
+def test_waste_free_validates_inputs():
+    from qinfer_tpu.rejuvenation import waste_free_rejuvenate_binomial
+
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=4)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    x = prior.sample(jax.random.key(0), 100)
+    w = jnp.full((100,), 0.01)
+    with pytest.raises(ValueError, match="divide"):
+        waste_free_rejuvenate_binomial(
+            model, prior, jax.random.key(1), w, x,
+            jnp.asarray([1.0]), jnp.asarray([4.0]),
+            {"exp_num": jnp.zeros((1,), jnp.int32)}, n_stages=3)

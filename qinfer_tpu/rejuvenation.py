@@ -412,3 +412,6 @@ mcmc_rejuvenate_jit = partial(
 mcmc_rejuvenate_binomial_jit = partial(
     jax.jit, static_argnames=("n_moves", "canonicalize"))(
     mcmc_rejuvenate_binomial)
+waste_free_rejuvenate_binomial_jit = partial(
+    jax.jit, static_argnames=("n_stages", "canonicalize"))(
+    waste_free_rejuvenate_binomial)

@@ -375,7 +375,8 @@ def _update_step_eager(model, resampler, state, outcome, eps,
 
 @partial(jax.jit, static_argnames=("resample_interval", "check_resample",
                                    "n_mcmc_moves", "sufficient",
-                                   "mcmc_canonicalize"))
+                                   "mcmc_canonicalize",
+                                   "waste_free_stages"))
 def _batch_update(model, resampler, state, outcomes, eps_batch,
                   resample_thresh, zero_weight_thresh,
                   resample_interval=5, check_resample=True,
@@ -383,7 +384,7 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
                   n_mcmc_moves=0, proposal_scale=2.38,
                   sufficient=False, pool_eps=None, pool_idx=None,
                   succ0=None, trials0=None, succ_inc=None, trials_inc=None,
-                  mcmc_canonicalize=True):
+                  mcmc_canonicalize=True, waste_free_stages=0):
     """``lax.scan`` over a whole experiment record.
 
     Reference parity: ``smc.py::SMCUpdater.batch_update(resample_interval)``
@@ -409,9 +410,10 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
     is independent of the record length (VERDICT r3 #5).
     """
     check_now = check_resample and resample_interval > 0
+    rejuvenating = n_mcmc_moves > 0 or waste_free_stages > 0
 
     def step(carry, inp):
-        if sufficient and n_mcmc_moves > 0:
+        if sufficient and rejuvenating:
             st, succ, trials = carry
             outcome, eps, idx, c_idx, s_inc, t_inc = inp
         else:
@@ -422,7 +424,36 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
         new_st, log_norm, _ = _update_step_impl(
             model, resampler, st, outcome, eps,
             resample_thresh, zero_weight_thresh,
-            check_resample=check_now, resample_gate=gate)
+            # waste-free REPLACES the resample: the step only reweights
+            # and the kernel below fires on the ESS gate directly
+            check_resample=check_now and waste_free_stages == 0,
+            resample_gate=gate)
+        if sufficient and waste_free_stages > 0:
+            from .rejuvenation import waste_free_rejuvenate_binomial
+
+            succ = succ.at[c_idx].add(s_inc)
+            trials = trials.at[c_idx].add(t_inc)
+            ess = 1.0 / jnp.sum(new_st.weights * new_st.weights)
+            do_wf = ess <= resample_thresh * new_st.weights.shape[0]
+            if check_now:
+                do_wf = do_wf & gate
+
+            def wf(s):
+                key, sub = jax.random.split(s.key)
+                w, x, _ = waste_free_rejuvenate_binomial(
+                    model, prior, sub, s.weights, s.locations, succ,
+                    trials, pool_eps, waste_free_stages, proposal_scale,
+                    canonicalize=mcmc_canonicalize)
+                return s._replace(
+                    weights=w, locations=x, key=key,
+                    just_resampled=jnp.asarray(True),
+                    resample_count=s.resample_count + 1)
+
+            new_st = jax.lax.cond(
+                do_wf, wf,
+                lambda s: s._replace(just_resampled=jnp.asarray(False)),
+                new_st)
+            return (new_st, succ, trials), log_norm
         if sufficient and n_mcmc_moves > 0:
             from .rejuvenation import mcmc_rejuvenate_binomial
 
@@ -459,7 +490,7 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
 
     n_steps = outcomes.shape[0]
     idxs = jnp.arange(n_steps)
-    if sufficient and n_mcmc_moves > 0:
+    if sufficient and rejuvenating:
         (final, _, _), norms = jax.lax.scan(
             step, (state, succ0, trials0),
             (outcomes, eps_batch, idxs, pool_idx, succ_inc, trials_inc))
@@ -607,6 +638,14 @@ class SMCUpdater:
         ``model.are_models_valid``, and on TPU tomography configs past
         embedded d = 16 the projection is ~90% of the move-call cost
         (docs/PERF_NOTES.md round 4).
+    :param int waste_free_stages: P > 0 replaces the resample + moves
+        with Dau-Chopin waste-free resample-move when the ESS gate
+        fires: n/P ancestors, every state of a (P−1)-step chain kept.
+        Requires ``compress_mcmc_record=True`` and P | n_particles.
+        Measured verdict (docs/PERF_NOTES.md round 4): the chain must
+        decorrelate P-fold-copied ancestors, so prefer this when the
+        model dimension is at most the chain length and keep Liu-West +
+        ``n_mcmc_moves`` above that.
     """
 
     def __init__(self, model, n_particles, prior,
@@ -616,7 +655,8 @@ class SMCUpdater:
                  zero_weight_policy="error", zero_weight_thresh=None,
                  canonicalize=True, seed=0, sharding=None,
                  n_mcmc_moves=0, mcmc_proposal_scale=2.38,
-                 compress_mcmc_record=False, mcmc_canonicalize=True):
+                 compress_mcmc_record=False, mcmc_canonicalize=True,
+                 waste_free_stages=0):
         self.model = model
         self.prior = prior
         self._n_particles = int(n_particles)
@@ -633,7 +673,9 @@ class SMCUpdater:
         self.n_mcmc_moves = int(n_mcmc_moves)
         self.mcmc_proposal_scale = float(mcmc_proposal_scale)
         self.mcmc_canonicalize = bool(mcmc_canonicalize)
-        if self.n_mcmc_moves > 0:
+        self._rejuvenating = (int(n_mcmc_moves) > 0
+                              or int(waste_free_stages) > 0)
+        if self._rejuvenating:
             # resample-move targets prior × Π likelihood over the record —
             # only meaningful for STATIC parameters and tractable priors;
             # fail fast on both (qinfer_tpu.rejuvenation module docstring)
@@ -646,6 +688,23 @@ class SMCUpdater:
 
             resolve_prior_log_pdf(prior)  # raises for intractable priors
         self.compress_mcmc_record = bool(compress_mcmc_record)
+        self.waste_free_stages = int(waste_free_stages)
+        if self.waste_free_stages > 0:
+            if not compress_mcmc_record:
+                raise ValueError(
+                    "waste_free_stages > 0 requires "
+                    "compress_mcmc_record=True (the chain targets the "
+                    "sufficient-statistic record)")
+            if self._n_particles % self.waste_free_stages:
+                raise ValueError(
+                    f"waste_free_stages={self.waste_free_stages} must "
+                    f"divide n_particles={self._n_particles}")
+            if zero_weight_policy == "error":
+                raise ValueError(
+                    "waste_free_stages > 0 is incompatible with "
+                    "zero_weight_policy='error' (the key-faithful batch "
+                    "replay does not model the waste-free kernel's key "
+                    "consumption)")
         self._two_outcome_model = None
         self._record_is_binomial = False
         if self.compress_mcmc_record:
@@ -656,10 +715,11 @@ class SMCUpdater:
             # distinct experiments seen) instead of O(T·n).
             from .derived_models import BinomialModel
 
-            if self.n_mcmc_moves <= 0:
+            if not self._rejuvenating:
                 raise ValueError("compress_mcmc_record=True requires "
-                                 "n_mcmc_moves > 0 (it only affects the "
-                                 "rejuvenation record)")
+                                 "n_mcmc_moves > 0 or waste_free_stages "
+                                 "> 0 (it only affects the rejuvenation "
+                                 "record)")
             if isinstance(model, BinomialModel):
                 self._two_outcome_model = model.underlying_model
                 self._record_is_binomial = True
@@ -856,7 +916,8 @@ class SMCUpdater:
         new_state, log_norm, was_zero = step_fn(
             self.model, self.resampler, self._state, outcome_arr, eps,
             self.resample_thresh, self.zero_weight_thresh,
-            check_resample=bool(check_for_resample))
+            check_resample=(bool(check_for_resample)
+                            and self.waste_free_stages == 0))
         if bool(was_zero):
             self._handle_zero_weight()
         self._commit_step(outcome, eps, prev_state, new_state, log_norm)
@@ -875,7 +936,7 @@ class SMCUpdater:
         self.data_record.append(np.asarray(outcome))
         self.normalization_record.append(
             float(np.exp(np.float64(log_norm))))
-        if self.n_mcmc_moves > 0:
+        if self._rejuvenating:
             self._n_record += 1
             if self.compress_mcmc_record:
                 # compressed mode keeps only the sufficient statistics —
@@ -884,7 +945,11 @@ class SMCUpdater:
                 self._accumulate_record(outcome, eps)
             else:
                 self._eps_record.append(eps)
-            if bool(new_state.just_resampled):
+            if self.waste_free_stages > 0:
+                ess = float(1.0 / jnp.sum(new_state.weights ** 2))
+                if ess <= self.resample_thresh * self._n_particles:
+                    self._waste_free_now()
+            elif bool(new_state.just_resampled):
                 self._rejuvenate_now()
 
     def _replay_update(self, outcome, eps, check_resample, resample_gate):
@@ -928,7 +993,7 @@ class SMCUpdater:
         self.model._bump("_call_count",
                          int(outcomes.shape[0]) * self.n_particles)
         move_kwargs = {}
-        if self.n_mcmc_moves > 0 and self.compress_mcmc_record:
+        if self._rejuvenating and self.compress_mcmc_record:
             # Dedupe this batch's experiments into the candidate pool
             # host-side (they are concrete here), then let the scan carry
             # the success/trial totals: per-step pool indices + increments
@@ -961,7 +1026,8 @@ class SMCUpdater:
                 trials_inc=jnp.asarray(t_inc, jnp.float32),
                 n_mcmc_moves=self.n_mcmc_moves,
                 proposal_scale=self.mcmc_proposal_scale,
-                mcmc_canonicalize=self.mcmc_canonicalize)
+                mcmc_canonicalize=self.mcmc_canonicalize,
+                waste_free_stages=self.waste_free_stages)
         elif self.n_mcmc_moves > 0:
             n_past = len(self._eps_record)
             if n_past:
@@ -1011,7 +1077,7 @@ class SMCUpdater:
             # rewound first; the per-step replay re-counts it.
             self.model._bump("_call_count",
                              -int(outcomes.shape[0]) * self.n_particles)
-            if self.n_mcmc_moves > 0 and self.compress_mcmc_record:
+            if self._rejuvenating and self.compress_mcmc_record:
                 # roll the candidate pool back to its pre-batch state:
                 # the replay re-registers (and commits) rows only for the
                 # experiments that actually commit before the raise
@@ -1052,7 +1118,7 @@ class SMCUpdater:
         norms = np.exp(np.asarray(log_norms, dtype=np.float64))
         self.data_record.extend(np.asarray(outcomes).tolist())
         self.normalization_record.extend(norms.tolist())
-        if self.n_mcmc_moves > 0:
+        if self._rejuvenating:
             self._n_record += int(outcomes.shape[0])
             if not self.compress_mcmc_record:
                 for i in range(int(outcomes.shape[0])):
@@ -1212,6 +1278,28 @@ class SMCUpdater:
         trials = jnp.asarray(np.pad(np.asarray(self._pool_trials,
                                                np.float32), (0, pad)))
         return pool_eps, succ, trials
+
+    def _waste_free_now(self):
+        """Waste-free resample-move (sequential-API path): REPLACES the
+        Liu-West resample — n/P ancestors, every state of a (P−1)-step
+        chain kept (:func:`qinfer_tpu.rejuvenation.
+        waste_free_rejuvenate_binomial`)."""
+        if self._n_record == 0:
+            return
+        from .rejuvenation import waste_free_rejuvenate_binomial_jit
+
+        pool_eps, succ, trials = self._pool_arrays()
+        st = self._state
+        key, sub = jax.random.split(st.key)
+        w, x, _ = waste_free_rejuvenate_binomial_jit(
+            self.model, self.prior, sub, st.weights, st.locations,
+            succ, trials, pool_eps, n_stages=self.waste_free_stages,
+            proposal_scale=self.mcmc_proposal_scale,
+            canonicalize=self.mcmc_canonicalize)
+        self._state = st._replace(
+            weights=w, locations=x, key=key,
+            just_resampled=jnp.asarray(True),
+            resample_count=st.resample_count + 1)
 
     def _rejuvenate_now(self):
         """Apply ``n_mcmc_moves`` Metropolis moves targeting

@@ -203,3 +203,46 @@ def test_waste_free_validates_inputs():
             model, prior, jax.random.key(1), w, x,
             jnp.asarray([1.0]), jnp.asarray([4.0]),
             {"exp_num": jnp.zeros((1,), jnp.int32)}, n_stages=3)
+
+
+def test_updater_waste_free_engine_paths():
+    """SMCUpdater(waste_free_stages=P): the waste-free kernel replaces the
+    Liu-West resample on BOTH engine paths and recovers the conjugate
+    Beta posterior."""
+    import scipy.stats as st
+
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=20)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    counts = jnp.asarray([14, 15, 13, 14, 14], jnp.int32)
+    eps = {"exp_num": jnp.zeros((5,), jnp.int32),
+           "n_meas": jnp.full((5,), 20, jnp.int32)}
+
+    for batch in (True, False):
+        u = q.SMCUpdater(model, 4096, prior, seed=5,
+                         compress_mcmc_record=True, waste_free_stages=8,
+                         resample_thresh=0.9, zero_weight_policy="reset")
+        if batch:
+            u.batch_update(counts, eps, resample_interval=1)
+        else:
+            for i in range(5):
+                u.update(int(counts[i]),
+                         {"exp_num": eps["exp_num"][i:i + 1],
+                          "n_meas": eps["n_meas"][i:i + 1]})
+        ref = st.beta(71, 31)
+        assert int(u.resample_count) >= 1
+        assert abs(float(u.est_mean()[0]) - ref.mean()) < 0.02, batch
+        assert abs(float(jnp.sqrt(u.est_covariance_mtx()[0, 0]))
+                   - ref.std()) < 0.015, batch
+
+
+def test_updater_waste_free_validation():
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=4)
+    with pytest.raises(ValueError, match="compress_mcmc_record"):
+        q.SMCUpdater(model, 64, prior, waste_free_stages=8)
+    with pytest.raises(ValueError, match="divide"):
+        q.SMCUpdater(model, 100, prior, compress_mcmc_record=True,
+                     waste_free_stages=8)
+    with pytest.raises(ValueError, match="zero_weight_policy"):
+        q.SMCUpdater(model, 64, prior, compress_mcmc_record=True,
+                     waste_free_stages=8, zero_weight_policy="error")

@@ -70,10 +70,71 @@ def arrays_to_state(arrays, sharding=None):
     )
 
 
+def _rejuvenation_record_arrays(updater):
+    """The rejuvenation record as flat arrays: the compressed
+    sufficient-statistic pool (``_pool_*``) and/or the full per-experiment
+    record (``_eps_record``). Without these a restored updater's
+    resample-move would silently target an EMPTY record (prior-only
+    moves) — a correctness gap for any rejuvenating updater that resumes
+    (caught round 4)."""
+    extra = {"__n_record": np.asarray(getattr(updater, "_n_record", 0),
+                                      np.int64)}
+    if updater._pool_eps:
+        for k in updater._pool_eps[0]:
+            extra[f"__pool_eps__{k}"] = np.concatenate(
+                [np.atleast_1d(e[k]) for e in updater._pool_eps], axis=0)
+        extra["__pool_succ"] = np.asarray(updater._pool_succ, np.float64)
+        extra["__pool_trials"] = np.asarray(updater._pool_trials,
+                                            np.float64)
+    if updater._eps_record:
+        for k in updater._eps_record[0]:
+            extra[f"__eps_record__{k}"] = np.concatenate(
+                [np.asarray(e[k]) for e in updater._eps_record], axis=0)
+    return extra
+
+
+def _restore_rejuvenation_record(updater, arrays):
+    """Inverse of :func:`_rejuvenation_record_arrays`; ``arrays`` keys are
+    consumed (popped). Clears any stale record the target updater holds."""
+    updater._n_record = int(arrays.pop("__n_record", 0))
+    pool_keys = [k for k in list(arrays) if k.startswith("__pool_eps__")]
+    updater._pool_eps, updater._pool_succ, updater._pool_trials = [], [], []
+    updater._pool_index = {}
+    if pool_keys:
+        fields = {k[len("__pool_eps__"):]: np.asarray(arrays.pop(k))
+                  for k in pool_keys}
+        succ = np.asarray(arrays.pop("__pool_succ"))
+        trials = np.asarray(arrays.pop("__pool_trials"))
+        E = succ.shape[0]
+        for i in range(E):
+            eps_i = {k: v[i:i + 1] for k, v in fields.items()}
+            key_bytes = b"\x00".join(
+                k.encode() + b"="
+                + np.ascontiguousarray(eps_i[k]).tobytes()
+                for k in sorted(eps_i))
+            updater._pool_index[key_bytes] = i
+            updater._pool_eps.append(eps_i)
+            updater._pool_succ.append(float(succ[i]))
+            updater._pool_trials.append(float(trials[i]))
+    rec_keys = [k for k in list(arrays) if k.startswith("__eps_record__")]
+    updater._eps_record = []
+    if rec_keys:
+        fields = {k[len("__eps_record__"):]: np.asarray(arrays.pop(k))
+                  for k in rec_keys}
+        T = next(iter(fields.values())).shape[0]
+        updater._eps_record = [
+            {k: jnp.asarray(v[i:i + 1]) for k, v in fields.items()}
+            for i in range(T)]
+        if updater._n_record == 0:
+            updater._n_record = T
+
+
 def save_updater(path, updater):
-    """Checkpoint an updater's full inference state (ensemble + records) to
-    one ``.npz`` file (``np.savez`` appends the extension if missing)."""
+    """Checkpoint an updater's full inference state (ensemble + records,
+    including the rejuvenation record / compressed pool) to one ``.npz``
+    file (``np.savez`` appends the extension if missing)."""
     arrays = state_to_arrays(updater.state)
+    arrays.update(_rejuvenation_record_arrays(updater))
     if updater.data_record:
         # preserves vector-valued outcomes (outcome_ndim > 0 models) —
         # records within one run share a shape, so a plain stack works
@@ -96,6 +157,7 @@ def load_updater(path, updater):
         loaded = dict(np.load(str(path) + ".npz"))
     data_record = loaded.pop("__data_record")
     norm_record = loaded.pop("__normalization_record")
+    _restore_rejuvenation_record(updater, loaded)
     updater.state = arrays_to_state(loaded, sharding=updater.sharding)
     updater.data_record = list(data_record)
     updater.normalization_record = list(norm_record)
@@ -110,6 +172,7 @@ def save_updater_orbax(path, updater):
 
     ckptr = ocp.StandardCheckpointer()
     arrays = state_to_arrays(updater.state)
+    arrays.update(_rejuvenation_record_arrays(updater))
     ckptr.save(path, arrays, force=True)
     ckptr.wait_until_finished()
     meta = {
@@ -126,7 +189,8 @@ def load_updater_orbax(path, updater):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    arrays = ckptr.restore(path)
+    arrays = dict(ckptr.restore(path))
+    _restore_rejuvenation_record(updater, arrays)
     updater.state = arrays_to_state(arrays, sharding=updater.sharding)
     try:
         with open(str(path) + ".meta.json") as fh:

@@ -140,3 +140,56 @@ def test_checkpoint_restores_n_particles(tmp_path):
                       q.UniformDistribution([[0, 1]]), seed=5)
     q.load_updater(path, u2)
     assert u2.n_particles == 800
+
+
+def test_roundtrip_preserves_rejuvenation_record(tmp_path):
+    """Round-4 composition gap: checkpoints must carry the rejuvenation
+    record (compressed pool AND full per-experiment record) — without it
+    a resumed updater's moves silently target an EMPTY record. A resumed
+    run must continue IDENTICALLY to an uninterrupted one (all stochastic
+    state lives in the checkpointed SMCState key)."""
+    two = q.SimplePrecessionModel()
+    model = q.BinomialModel(two, n_meas_max=12)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    pool_t = np.asarray([0.5, 1.7, 3.1, 6.4], np.float32)
+    ts = pool_t[np.random.default_rng(5).integers(0, 4, 24)]
+    eps = {"t": jnp.asarray(ts), "n_meas": jnp.full((24,), 12, jnp.int32)}
+    outs = np.asarray(model.simulate_experiment(
+        jax.random.key(6), jnp.array([[0.43]]), eps))[0]
+
+    def make(compress):
+        return q.SMCUpdater(model, 512, prior, seed=7, n_mcmc_moves=3,
+                            compress_mcmc_record=compress,
+                            zero_weight_policy="reset")
+
+    for compress in (True, False):
+        # uninterrupted reference
+        ref = make(compress)
+        for i in range(24):
+            ref.update(int(outs[i]), {"t": eps["t"][i:i + 1],
+                                      "n_meas": eps["n_meas"][i:i + 1]})
+        # interrupted at step 12: save → restore into a FRESH updater
+        u = make(compress)
+        for i in range(12):
+            u.update(int(outs[i]), {"t": eps["t"][i:i + 1],
+                                    "n_meas": eps["n_meas"][i:i + 1]})
+        path = str(tmp_path / f"ck_{compress}")
+        q.save_updater(path, u)
+        v = make(compress)
+        q.load_updater(path, v)
+        if compress:
+            assert len(v._pool_eps) == len(u._pool_eps) > 0
+            assert v._pool_index.keys() == u._pool_index.keys()
+            assert v._pool_trials == u._pool_trials
+            assert v._n_record == 12
+        else:
+            assert len(v._eps_record) == 12
+        for i in range(12, 24):
+            v.update(int(outs[i]), {"t": eps["t"][i:i + 1],
+                                    "n_meas": eps["n_meas"][i:i + 1]})
+        np.testing.assert_allclose(
+            np.asarray(v.est_mean()), np.asarray(ref.est_mean()),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(v.est_covariance_mtx()),
+            np.asarray(ref.est_covariance_mtx()), atol=1e-7)

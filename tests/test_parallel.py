@@ -173,6 +173,32 @@ def test_sharded_compressed_rejuvenation():
     assert len(u.particle_locations.sharding.device_set) == 8
 
 
+def test_sharded_waste_free_engine():
+    """SMCUpdater(waste_free_stages=P) under an 8-device particle
+    sharding: the ancestor resample-gather, chain scan, and pool pass
+    cross the mesh; posterior matches the conjugate Beta and the output
+    stays distributed."""
+    import scipy.stats as st
+
+    pm = ParticleMesh()
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=20)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    counts = jnp.asarray([14, 15, 13, 14, 14], jnp.int32)
+    eps = {"exp_num": jnp.zeros((5,), jnp.int32),
+           "n_meas": jnp.full((5,), 20, jnp.int32)}
+    u = q.SMCUpdater(model, 4096, prior, seed=5, resample_thresh=0.9,
+                     sharding=pm.particle_sharding,
+                     compress_mcmc_record=True, waste_free_stages=8,
+                     zero_weight_policy="reset")
+    u.batch_update(counts, eps, resample_interval=1)
+    assert int(u.resample_count) >= 1
+    ref = st.beta(71, 31)
+    assert abs(float(u.est_mean()[0]) - ref.mean()) < 0.02
+    assert abs(float(jnp.sqrt(u.est_covariance_mtx()[0, 0]))
+               - ref.std()) < 0.015
+    assert len(u.particle_locations.sharding.device_set) == 8
+
+
 class MockDirectView:
     """Serial stand-in for an ipyparallel DirectView (the reference's test
     pattern)."""

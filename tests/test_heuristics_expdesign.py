@@ -361,3 +361,44 @@ def test_design_from_candidates():
     assert 0 <= idx_s < 4
     with pytest.raises(ValueError, match="utility"):
         design_from_candidates(u, pool, utility="loss")
+
+
+def test_design_from_candidates_binomial_process():
+    """The flagship workflow through the PUBLIC engine API: BinomialModel
+    over process tomography, candidate pool scored by EIG (padded count
+    outcome grid), egreedy selection, compressed-record moves."""
+    import qinfer_tpu.tomography as tomo
+    from qinfer_tpu.tomography.models import ProcessTomographyModel
+    from qinfer_tpu.expdesign import design_from_candidates
+
+    b1 = tomo.pauli_basis(1)
+    b2 = tomo.pauli_basis(2)
+    model = q.BinomialModel(ProcessTomographyModel(b2, b1), n_meas_max=8)
+    prior = tomo.BCSZChoiDistribution(b2)
+    kets = np.asarray(
+        [[1, 0], [0, 1],
+         [1 / np.sqrt(2), 1 / np.sqrt(2)],
+         [1 / np.sqrt(2), 1j / np.sqrt(2)]], dtype=np.complex64)
+    fid = jnp.asarray(np.stack([
+        np.asarray(b1.state_to_modelparams(np.outer(k, k.conj())))
+        for k in kets]), dtype=jnp.float32)
+    pool = {"prep": jnp.repeat(fid, 4, axis=0),
+            "meas": jnp.tile(fid, (4, 1)),
+            "n_meas": jnp.full((16,), 8, jnp.int32)}
+
+    u = q.SMCUpdater(model, 1024, prior, seed=2, n_mcmc_moves=2,
+                     compress_mcmc_record=True,
+                     zero_weight_policy="reset")
+    true_mps = prior.sample(jax.random.key(11), 1)
+    key = jax.random.key(12)
+    for step in range(12):
+        key, k_d, k_s = jax.random.split(key, 3)
+        eps, idx = design_from_candidates(u, pool, key=k_d,
+                                          policy="egreedy", epsilon=0.3)
+        assert 0 <= idx < 16 and eps["n_meas"].shape == (1,)
+        out = model.simulate_experiment(k_s, true_mps, eps)
+        u.update(out, eps)
+    assert len(u._pool_eps) <= 16
+    assert u._n_record == 12
+    # the posterior genuinely tightened
+    assert float(u.min_n_ess) < 1024

@@ -102,6 +102,18 @@ SLOW_TESTS = {
     "test_scan_batch_resample_interval",
     "test_mh_chain_equivalence",
     "test_updater_compressed_record_matches_full",
+    "test_design_from_candidates_binomial_process",
+    "test_roundtrip_preserves_rejuvenation_record",
+    "test_updater_waste_free_engine_paths",
+    "test_waste_free_recovers_conjugate_posterior",
+    "test_sharded_waste_free_engine",
+    "test_sharded_compressed_rejuvenation",
+    "test_updater_mcmc_canonicalize_flag",
+    "test_error_replay_rolls_back_phantom_pool_rows",
+    "test_compressed_ll_differs_by_constant",
+    "test_rejuvenate_no_canonicalize_stays_valid",
+    "test_liu_west_canonicalizes",
+    "test_resampler_no_warning_when_valid",
     "test_smc_inference_with_calibration",
     "test_score_mixin_matches_autodiff",
     "test_ale_smc_inference",

@@ -351,6 +351,14 @@ def main():
     if n_moves > 0 and bool(model.is_time_dependent):
         raise SystemExit("--moves requires a time-independent config "
                          "(rejuvenation targets a fixed record posterior)")
+    # chunked mode runs ceil(steps/chunk) FULL chunks, i.e. total_steps =
+    # C * n_chunks >= args.steps actual updates — every fixed-size buffer
+    # below (and the per-step metric) must use total_steps, or the scan
+    # index clamps past the buffer end and overwrites the last record row
+    # on padded steps (round-4 advisor finding).
+    C = args.chunk if args.chunk > 0 else args.steps
+    n_chunks = -(-args.steps // C)
+    total_steps = C * n_chunks
     # sufficient-statistic record (VERDICT r3 #5): every --process
     # experiment comes from the finite (prep, meas) fiducial pool, so the
     # record collapses EXACTLY to per-candidate success/trial totals and
@@ -366,9 +374,9 @@ def main():
         # observed so far (masked to the first idx+1 rows)
         eps0 = propose(jax.random.key(42), state.weights,
                        state.locations, 0)
-        rec_eps0 = {k: jnp.zeros((args.steps,) + tuple(v.shape[1:]),
+        rec_eps0 = {k: jnp.zeros((total_steps,) + tuple(v.shape[1:]),
                                  v.dtype) for k, v in eps0.items()}
-        rec_out0 = jnp.zeros((args.steps,), jnp.int32)
+        rec_out0 = jnp.zeros((total_steps,), jnp.int32)
     if sufficient:
         from qinfer_tpu.rejuvenation import (
             mcmc_rejuvenate_binomial, waste_free_rejuvenate_binomial)
@@ -466,7 +474,7 @@ def main():
 
             def move(s):
                 key2, sub = jax.random.split(s.key)
-                mask = jnp.arange(args.steps) < (idx + 1)
+                mask = jnp.arange(total_steps) < (idx + 1)
                 x, _ = mcmc_rejuvenate(
                     model, prior, sub, s.locations, rec_o, rec_e,
                     mask, n_moves, args.proposal_scale)
@@ -479,10 +487,8 @@ def main():
 
     # one compiled chunk-step scan, invoked ceil(steps/chunk) times with a
     # traced offset (all invocations share the one compilation); chunk=0
-    # keeps the whole loop in a single program
-    C = args.chunk if args.chunk > 0 else args.steps
-    n_chunks = -(-args.steps // C)
-    total_steps = C * n_chunks
+    # keeps the whole loop in a single program. C / n_chunks / total_steps
+    # are computed above the record-buffer allocation.
 
     @jax.jit
     def run_chunk(carry, offset):

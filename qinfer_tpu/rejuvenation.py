@@ -145,7 +145,9 @@ def binomial_record_log_likelihood(two_outcome_model, locations, succ,
     replaces the O(T·n) record pass (VERDICT r3 #5: the rejuvenation cost
     no longer grows with the record length T).
 
-    ``succ``/``trials`` are (E,) float arrays; ``eps_pool`` is an expparams
+    ``succ``/``trials`` are (E,) arrays — int32 from the engine (exact
+    accumulation; f32 saturates at 2^24), cast to the likelihood dtype at
+    the contraction below; ``eps_pool`` is an expparams
     pytree with leading axis E. Padding rows with ``trials = succ = 0``
     contribute exactly 0 — no mask needed. The MXU-friendly form: the
     (n, E) log-probability matrices contract against the statistics

@@ -433,10 +433,17 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
 
             succ = succ.at[c_idx].add(s_inc)
             trials = trials.at[c_idx].add(t_inc)
+            if not check_now:
+                # resample_interval=0 means NEVER check (batch_update
+                # convention, resample_interval_gate docstring): the
+                # waste-free kernel replaces the resample, so it obeys
+                # the same gate and never fires here
+                return (new_st._replace(
+                    just_resampled=jnp.asarray(False)), succ, trials), \
+                    log_norm
             ess = 1.0 / jnp.sum(new_st.weights * new_st.weights)
-            do_wf = ess <= resample_thresh * new_st.weights.shape[0]
-            if check_now:
-                do_wf = do_wf & gate
+            do_wf = (ess <= resample_thresh * new_st.weights.shape[0]) \
+                & gate
 
             def wf(s):
                 key, sub = jax.random.split(s.key)
@@ -920,13 +927,23 @@ class SMCUpdater:
                             and self.waste_free_stages == 0))
         if bool(was_zero):
             self._handle_zero_weight()
-        self._commit_step(outcome, eps, prev_state, new_state, log_norm)
+        self._commit_step(outcome, eps, prev_state, new_state, log_norm,
+                          check_for_resample=bool(check_for_resample))
 
-    def _commit_step(self, outcome, eps, prev_state, new_state, log_norm):
+    def _commit_step(self, outcome, eps, prev_state, new_state, log_norm,
+                     check_for_resample=True):
         """Shared host-side tail of a committed sequential update: warnings,
         diagnostics, records (the step evidence is reported in log space —
         stable for models with underflowing likelihoods — and recorded
-        linear in float64), and post-resample MCMC rejuvenation."""
+        linear in float64), and post-resample MCMC rejuvenation.
+
+        ``check_for_resample`` gates the waste-free trigger exactly like
+        the step's own resample check: a caller suppressing resampling
+        (``update(..., check_for_resample=False)``) must not receive a
+        waste-free resample-move either — reference parity with
+        ``SMCUpdater.update``'s semantics (the non-waste-free path gets
+        this for free because ``just_resampled`` can only be set by the
+        step's gated resample)."""
         self._warn_resampler_fallback(
             int(new_state.resampler_fallback_count)
             - int(prev_state.resampler_fallback_count))
@@ -946,9 +963,10 @@ class SMCUpdater:
             else:
                 self._eps_record.append(eps)
             if self.waste_free_stages > 0:
-                ess = float(1.0 / jnp.sum(new_state.weights ** 2))
-                if ess <= self.resample_thresh * self._n_particles:
-                    self._waste_free_now()
+                if check_for_resample:
+                    ess = float(1.0 / jnp.sum(new_state.weights ** 2))
+                    if ess <= self.resample_thresh * self._n_particles:
+                        self._waste_free_now()
             elif bool(new_state.just_resampled):
                 self._rejuvenate_now()
 
@@ -1022,8 +1040,10 @@ class SMCUpdater:
                 prior=self.prior, sufficient=True, pool_eps=pool_eps,
                 pool_idx=jnp.asarray(idx_rows, jnp.int32),
                 succ0=succ0, trials0=trials0,
-                succ_inc=jnp.asarray(s_inc, jnp.float32),
-                trials_inc=jnp.asarray(t_inc, jnp.float32),
+                succ_inc=jnp.asarray(np.asarray(s_inc, np.int64)
+                                     .astype(np.int32)),
+                trials_inc=jnp.asarray(np.asarray(t_inc, np.int64)
+                                       .astype(np.int32)),
                 n_mcmc_moves=self.n_mcmc_moves,
                 proposal_scale=self.mcmc_proposal_scale,
                 mcmc_canonicalize=self.mcmc_canonicalize,
@@ -1261,7 +1281,15 @@ class SMCUpdater:
     def _pool_arrays(self):
         """The compressed record as device buffers, padded to a power of
         two over candidates (padding rows repeat row 0 with zero trials —
-        they contribute exactly 0 to the record log-likelihood)."""
+        they contribute exactly 0 to the record log-likelihood).
+
+        Totals ride as int32, not float32: f32 stops accumulating at 2^24
+        (~1.7e7 trials per candidate, reachable with large ``n_meas`` over
+        long horizons on a small pool) while int32 is exact to 2^31; the
+        likelihood contraction casts at use
+        (:func:`~qinfer_tpu.rejuvenation.binomial_record_log_likelihood`).
+        Host-side totals are Python floats (exact to 2^53) — the guard
+        below fires long before EITHER representation could saturate."""
         E = len(self._pool_eps)
         Ep = max(8, 1 << (E - 1).bit_length()) if E > 1 else 8
         pad = Ep - E
@@ -1273,10 +1301,18 @@ class SMCUpdater:
                               axis=0)] if pad else []), axis=0))
             for k in self._pool_eps[0]
         }
+        trials_host = np.asarray(self._pool_trials, np.float64)
+        if trials_host.size and float(trials_host.max()) > 2.0 ** 30:
+            raise OverflowError(
+                "per-candidate trial totals exceed 2^30; the int32 "
+                "device representation of the compressed rejuvenation "
+                "record would overflow (split the record across "
+                "candidates or disable compress_mcmc_record)")
         succ = jnp.asarray(np.pad(np.asarray(self._pool_succ,
-                                             np.float32), (0, pad)))
-        trials = jnp.asarray(np.pad(np.asarray(self._pool_trials,
-                                               np.float32), (0, pad)))
+                                             np.int64), (0, pad))
+                           .astype(np.int32))
+        trials = jnp.asarray(np.pad(trials_host.astype(np.int64),
+                                    (0, pad)).astype(np.int32))
         return pool_eps, succ, trials
 
     def _waste_free_now(self):
@@ -1300,6 +1336,10 @@ class SMCUpdater:
             weights=w, locations=x, key=key,
             just_resampled=jnp.asarray(True),
             resample_count=st.resample_count + 1)
+        # a waste-free kernel IS the engine's resample event: feed the
+        # same opt-in diagnostics (KL tracking / debug logging) the
+        # Liu-West path gets from _commit_step
+        self._on_resample_diagnostics(st, self._state)
 
     def _rejuvenate_now(self):
         """Apply ``n_mcmc_moves`` Metropolis moves targeting

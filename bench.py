@@ -51,6 +51,38 @@ N_STEPS = 256              # adaptive experiments per run
 N_REPEATS = 3              # timed repetitions (best taken)
 BASELINE = 1e7             # driver north star: particle-updates/s/chip
 
+# Device-stall / cached-timing detection (docs/PERF_NOTES.md: isolated
+# TPU executions occasionally take 150-200 s against a 1-10 s norm, and
+# short walls can read ~0 when the tunnel serves host-side cached
+# results instead of executing). Both pathologies must be visible in the
+# recorded JSON, never silently folded into the headline number.
+STALL_FACTOR = 4.0         # wall > FACTOR × median (and > median + MARGIN)
+STALL_MARGIN_S = 5.0       # absolute slack so jittery sub-second walls
+                           # are never "stalls"
+CACHED_FLOOR_S = 1e-3      # a wall this short was not a real execution
+MAX_STALL_RETRIES = 2      # re-run flagged repeats at most this many times
+
+
+def classify_walls(walls, stall_factor=STALL_FACTOR,
+                   stall_margin=STALL_MARGIN_S, floor=CACHED_FLOOR_S):
+    """Split per-repeat wall times into (stalled, cached) index lists.
+
+    A *stall* is a wall more than ``stall_factor`` × the median AND more
+    than ``stall_margin`` seconds above it — the two-sided guard keeps
+    ordinary sub-second jitter from ever flagging. A *cached* wall is one
+    below ``floor``: the tunnel's host-side result caching served a
+    buffer without executing, so the timing is fiction (and must never
+    become the min). Ports ``tomography_bench.py``'s ``timing_suspect``
+    treatment to the headline bench (VERDICT r4 next-round #7).
+    """
+    if not walls:
+        return [], []
+    med = sorted(walls)[len(walls) // 2]
+    stalled = [i for i, w in enumerate(walls)
+               if w > stall_factor * med and w > med + stall_margin]
+    cached = [i for i, w in enumerate(walls) if w < floor]
+    return stalled, cached
+
 
 def build_run(engine="fused", n_particles=N_PARTICLES, interval=0):
     import qinfer_tpu as q
@@ -134,15 +166,43 @@ def main():
     final = run(state, key)
     jax.block_until_ready(final.weights)
 
-    best = float("inf")
-    for rep in range(N_REPEATS):
-        state, key = make_state(rep + 1)
+    def timed_repeat(seed):
+        state, key = make_state(seed)
         jax.block_until_ready(state.weights)
         t0 = time.perf_counter()
         final = run(state, key)
         jax.block_until_ready(final.weights)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
+        return time.perf_counter() - t0, final
+
+    walls = []
+    for rep in range(N_REPEATS):
+        dt, final = timed_repeat(rep + 1)
+        walls.append(dt)
+
+    # stall / cached-timing guard: log and RE-RUN affected repeats so an
+    # isolated 150-200 s device stall (or a ~0 s cached wall) can never
+    # silently corrupt the driver-recorded number
+    stall_events = 0
+    for retry in range(MAX_STALL_RETRIES):
+        stalled, cached = classify_walls(walls)
+        flagged = sorted(set(stalled) | set(cached))
+        if not flagged:
+            break
+        for i in flagged:
+            kind = "stall" if i in stalled else "cached-timing"
+            print(f"WARNING: repeat {i} wall {walls[i]:.3f}s flagged as "
+                  f"{kind}; re-running", file=sys.stderr)
+            stall_events += 1
+            walls[i], final = timed_repeat(100 * (retry + 1) + i)
+    stalled, cached = classify_walls(walls)
+    timing_suspect = bool(stalled or cached)
+    if timing_suspect:
+        print(f"WARNING: timing still suspect after {MAX_STALL_RETRIES} "
+              f"retries: walls={['%.3f' % w for w in walls]}",
+              file=sys.stderr)
+    # never let a cached ~0 wall become the headline min
+    usable = [w for i, w in enumerate(walls) if i not in cached]
+    best = min(usable if usable else walls)
 
     n_chips = max(1, jax.device_count())
     updates_per_sec_per_chip = (args.particles * N_STEPS) / best / n_chips
@@ -159,6 +219,9 @@ def main():
         "value": round(updates_per_sec_per_chip, 1),
         "unit": "particle-updates/s/chip",
         "vs_baseline": round(updates_per_sec_per_chip / BASELINE, 3),
+        "repeat_walls_s": [round(w, 4) for w in walls],
+        "stall_events": stall_events,
+        "timing_suspect": timing_suspect,
     }))
 
 

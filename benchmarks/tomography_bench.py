@@ -74,6 +74,19 @@ def main():
     parser.add_argument("--proposal-scale", type=float, default=2.38,
                         help="MH random-walk scale for --moves "
                         "(Roberts-Gelman-Gilks 2.38 default)")
+    parser.add_argument("--mcmc-method", default="rwm",
+                        choices=["rwm", "mala"],
+                        help="rejuvenation proposal family (round 5): "
+                        "'mala' drifts along the record-posterior "
+                        "gradient (two extra matvecs on the compressed "
+                        "record; optimal acceptance 0.574). Sufficient-"
+                        "record configs only")
+    parser.add_argument("--adapt", action="store_true",
+                        help="Robbins-Monro adaptation of the proposal "
+                        "step size toward the method's optimal "
+                        "acceptance — replaces the hand-tuned "
+                        "--proposal-scale (which only seeds the initial "
+                        "scale; left at 2.38 the method default is used)")
     parser.add_argument("--eig-policy", default="greedy",
                         choices=["greedy", "egreedy", "softmax"],
                         help="candidate-selection policy for --eig "
@@ -377,15 +390,33 @@ def main():
         rec_eps0 = {k: jnp.zeros((total_steps,) + tuple(v.shape[1:]),
                                  v.dtype) for k, v in eps0.items()}
         rec_out0 = jnp.zeros((total_steps,), jnp.int32)
+    use_adaptive = n_moves > 0 and (args.adapt or args.mcmc_method != "rwm")
+    if use_adaptive and not sufficient:
+        raise SystemExit("--adapt / --mcmc-method mala require the "
+                         "sufficient-statistic record path")
+    if use_adaptive and args.waste_free > 0:
+        raise SystemExit("--adapt / --mcmc-method mala apply to the "
+                         "post-resample move kernel, not --waste-free")
     if sufficient:
         from qinfer_tpu.rejuvenation import (
             mcmc_rejuvenate_binomial, waste_free_rejuvenate_binomial)
 
         succ0 = jnp.zeros((n_pool,), jnp.float32)
         trials0 = jnp.zeros((n_pool,), jnp.float32)
+    if use_adaptive:
+        from qinfer_tpu.rejuvenation import (
+            initial_log_scale, mcmc_rejuvenate_binomial_adaptive)
+
+        ps_seed = (None if args.proposal_scale == 2.38
+                   else args.proposal_scale)
+        ls_init = initial_log_scale(int(model.n_modelparams),
+                                    args.mcmc_method, ps_seed)
 
     def step(carry, idx):
-        if sufficient:
+        ls = t_ad = None
+        if use_adaptive:
+            st, key, true, succ, trials, acc_sum, ls, t_ad = carry
+        elif sufficient:
             st, key, true, succ, trials, acc_sum = carry
         elif n_moves > 0:
             st, key, true, rec_o, rec_e = carry
@@ -454,6 +485,26 @@ def main():
                 acc_sum = acc_sum + acc
                 return (new_st, key, true, succ, trials, acc_sum), ()
 
+            if use_adaptive:
+                def move_ad(op):
+                    s, ls_, t_ = op
+                    key2, sub = jax.random.split(s.key)
+                    x, acc, ls_, t_ = mcmc_rejuvenate_binomial_adaptive(
+                        model, prior, sub, s.locations, succ, trials,
+                        pool_eps, n_moves, ls_, t_,
+                        method=args.mcmc_method, adapt=args.adapt,
+                        canonicalize=not args.no_move_canonicalize)
+                    return (s._replace(locations=x, key=key2), ls_,
+                            t_), acc
+
+                (new_st, ls, t_ad), acc = jax.lax.cond(
+                    new_st.just_resampled, move_ad,
+                    lambda op: (op, jnp.float32(0.0)),
+                    (new_st, ls, t_ad))
+                acc_sum = acc_sum + acc
+                return (new_st, key, true, succ, trials, acc_sum,
+                        ls, t_ad), ()
+
             def move(s):
                 key2, sub = jax.random.split(s.key)
                 x, acc = mcmc_rejuvenate_binomial(
@@ -496,7 +547,10 @@ def main():
         return out
 
     def run(st, key):
-        if sufficient:
+        if use_adaptive:
+            carry = (st, key, true_mps, succ0, trials0, jnp.float32(0.0),
+                     jnp.float32(ls_init), jnp.int32(0))
+        elif sufficient:
             carry = (st, key, true_mps, succ0, trials0, jnp.float32(0.0))
         elif n_moves > 0:
             carry = (st, key, true_mps, rec_out0, rec_eps0)
@@ -509,19 +563,20 @@ def main():
             jax.block_until_ready(carry[0].weights)
             chunk_walls.append(time.perf_counter() - t0)
         acc = carry[5] if sufficient else None
-        return carry[0], carry[2], acc, chunk_walls
+        final_ls = float(carry[6]) if use_adaptive else None
+        return carry[0], carry[2], acc, chunk_walls, final_ls
 
     # warmup run: pays the compile inside its first chunk; later chunks
     # are clean executions (kept as the timing fallback below)
     k0 = jax.random.key(3 * args.seed + 1)
-    _, _, _, warm_walls = run(state, k0)
+    _, _, _, warm_walls, _ = run(state, k0)
 
     # timed run: a FRESH prior ensemble (different key), so no layer of
     # the tunnel's host-side result caching can serve stale buffers
     state2 = SMCState.initial(
         prior.sample(jax.random.fold_in(k_prior, 7), n), k_run)
     t0 = time.perf_counter()
-    final, final_true, acc_total, chunk_walls = run(
+    final, final_true, acc_total, chunk_walls, final_log_scale = run(
         state2, jax.random.key(3 * args.seed + 2))
     jax.block_until_ready(final.weights)
     dt = time.perf_counter() - t0
@@ -566,6 +621,10 @@ def main():
         "n_qubits": (None if args.process or args.diffusive
                      else int(args.qubits)),
         "mcmc_moves": int(args.moves),
+        "mcmc_method": (args.mcmc_method if args.moves > 0 else None),
+        "mcmc_adapt": bool(args.adapt),
+        "final_log_scale": (round(final_log_scale, 4)
+                            if final_log_scale is not None else None),
         "shots": int(args.shots),
         "eig_design": bool(args.eig),
         "eig_policy": (args.eig_policy if args.eig else None),

@@ -78,7 +78,14 @@ def _rejuvenation_record_arrays(updater):
     moves) — a correctness gap for any rejuvenating updater that resumes
     (caught round 4)."""
     extra = {"__n_record": np.asarray(getattr(updater, "_n_record", 0),
-                                      np.int64)}
+                                      np.int64),
+             # Robbins-Monro adaptive-kernel state (round 5): without it
+             # a resumed adaptive updater would restart from the initial
+             # scale and re-pay the adaptation transient
+             "__mcmc_log_scale": np.asarray(
+                 getattr(updater, "_mcmc_log_scale", 0.0), np.float64),
+             "__mcmc_adapt_t": np.asarray(
+                 getattr(updater, "_mcmc_adapt_t", 0), np.int64)}
     if updater._pool_eps:
         for k in updater._pool_eps[0]:
             extra[f"__pool_eps__{k}"] = np.concatenate(
@@ -97,6 +104,9 @@ def _restore_rejuvenation_record(updater, arrays):
     """Inverse of :func:`_rejuvenation_record_arrays`; ``arrays`` keys are
     consumed (popped). Clears any stale record the target updater holds."""
     updater._n_record = int(arrays.pop("__n_record", 0))
+    if "__mcmc_log_scale" in arrays:
+        updater._mcmc_log_scale = float(arrays.pop("__mcmc_log_scale"))
+        updater._mcmc_adapt_t = int(arrays.pop("__mcmc_adapt_t", 0))
     pool_keys = [k for k in list(arrays) if k.startswith("__pool_eps__")]
     updater._pool_eps, updater._pool_succ, updater._pool_trials = [], [], []
     updater._pool_index = {}

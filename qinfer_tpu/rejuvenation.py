@@ -39,6 +39,10 @@ __all__ = ["resolve_prior_log_pdf", "record_log_likelihood",
            "binomial_record_log_likelihood",
            "mcmc_rejuvenate", "mcmc_rejuvenate_jit",
            "mcmc_rejuvenate_binomial", "mcmc_rejuvenate_binomial_jit",
+           "mcmc_rejuvenate_adaptive", "mcmc_rejuvenate_adaptive_jit",
+           "mcmc_rejuvenate_binomial_adaptive",
+           "mcmc_rejuvenate_binomial_adaptive_jit",
+           "initial_log_scale", "default_target_accept",
            "waste_free_rejuvenate", "waste_free_rejuvenate_binomial"]
 
 #: floor for linear likelihoods before log (exact zeros would make the MH
@@ -408,6 +412,273 @@ def waste_free_rejuvenate(model, prior, key, weights, locations, outcomes,
                             canonicalize)
 
 
+# ---------------------------------------------------------------------------
+# Adaptive kernels: MALA proposals + Robbins-Monro step-size adaptation
+# ---------------------------------------------------------------------------
+#
+# The reference's only move kernel is the Liu-West shrink
+# (``src/qinfer/resamplers.py::LiuWestResampler``); the fixed-scale
+# random-walk kernels above already beat it on constrained high-dim
+# targets, but their proposal scale is a hand-tuned constant (the
+# round-4 flagship shipped ``--proposal-scale 5.0`` at acceptance 0.13).
+# These kernels close that gap two ways:
+#
+# 1. **MALA** (Metropolis-adjusted Langevin): the proposal drifts along
+#    ``∇ log π`` — for the compressed binomial target the gradient is
+#    two extra matvecs via ``jax.vjp``, so the drift is nearly free and
+#    buys the d^{1/3} → d^{1/6} mixing-rate improvement (optimal
+#    acceptance 0.574 vs RWM's 0.234; Roberts & Rosenthal 1998).
+# 2. **Robbins-Monro adaptation**: after every Metropolis sweep the log
+#    step size moves by ``γ_t · (acc − target)`` with ``γ_t = γ₀/(1+t)^κ``
+#    floored at ``γ_min`` (the ensemble-covariance preconditioner already
+#    tracks the posterior's shrinking geometry, so the optimal RELATIVE
+#    scale is near-stationary and a floored decaying gain both converges
+#    and tracks). At flagship ensemble sizes the per-sweep acceptance
+#    mean is estimated over n ≈ 5·10⁴ particles, so the stochastic
+#    approximation noise is negligible and adaptation locks in within a
+#    handful of resample events.
+#
+# Everything runs in WHITENED coordinates ``y = A⁻¹x`` (A = ensemble
+# Cholesky): the proposal is ``x' = x + (drift_w + s·ξ) @ Aᵀ``, and both
+# MALA proposal densities are available WITHOUT triangular solves
+# because the whitened displacement is known by construction
+# (``y' − y = drift_w + s·ξ``).
+
+#: clamp for the adapted log step size — far wider than any useful scale,
+#: just a guard against runaway adaptation when acceptance degenerates
+_LOG_SCALE_MIN = -12.0
+_LOG_SCALE_MAX = 6.0
+
+
+def default_target_accept(method):
+    """Optimal-scaling acceptance targets: 0.574 for MALA, 0.234 for the
+    random walk (Roberts, Gelman & Gilks 1997; Roberts & Rosenthal 1998).
+    """
+    if method == "mala":
+        return 0.574
+    if method == "rwm":
+        return 0.234
+    raise ValueError(f"unknown MCMC method {method!r} "
+                     "(expected 'rwm' or 'mala')")
+
+
+def initial_log_scale(d, method="rwm", proposal_scale=None):
+    """Log of the initial FULL multiplier on the ensemble-covariance
+    Cholesky: ``2.38/√d`` for the random walk, ``1.65·d^{−1/6}`` for MALA
+    (the optimal-scaling constants). ``proposal_scale`` overrides the
+    numerator (so a hand-tuned RWM constant can seed adaptation).
+    """
+    import math
+
+    if method == "mala":
+        base = 1.65 if proposal_scale is None else float(proposal_scale)
+        return math.log(base) - math.log(float(d)) / 6.0
+    if method == "rwm":
+        base = 2.38 if proposal_scale is None else float(proposal_scale)
+        return math.log(base) - 0.5 * math.log(float(d))
+    raise ValueError(f"unknown MCMC method {method!r} "
+                     "(expected 'rwm' or 'mala')")
+
+
+def _ensemble_chol(locations, weights=None):
+    """Cholesky of the (optionally weighted) ensemble covariance, with the
+    ``sqrtm_psd`` fallback the fixed-scale kernels use."""
+    n, d = locations.shape
+    if weights is None:
+        mu = jnp.mean(locations, axis=0)
+        xc = locations - mu[None, :]
+        cov = xc.T @ xc / n
+    else:
+        mu = jnp.sum(weights[:, None] * locations, axis=0)
+        xc = locations - mu[None, :]
+        cov = (weights[:, None] * xc).T @ xc
+    cov = cov + 1e-10 * jnp.eye(d, dtype=locations.dtype)
+    chol = jnp.linalg.cholesky(cov)
+    return jax.lax.cond(jnp.any(jnp.isnan(chol)),
+                        lambda _: sqrtm_psd(cov), lambda _: chol, None)
+
+
+def _rm_gain(t, gain0=1.0, kappa=0.6, floor=0.05):
+    """Floored Robbins-Monro gain sequence ``max(γ₀/(1+t)^κ, γ_min)``.
+
+    The floor keeps the recursion tracking (the per-sweep acceptance is
+    estimated over the whole ensemble, so its noise is tiny and a
+    non-vanishing gain costs almost no stationary jitter while letting a
+    badly-seeded scale recover within tens of sweeps)."""
+    t = t.astype(jnp.float32)
+    return jnp.maximum(gain0 / (1.0 + t) ** kappa, floor)
+
+
+def _mh_moves_adaptive(model, prior, key, locations, record_ll, n_moves,
+                       log_scale, adapt_t, method, target_accept, keyed,
+                       canonicalize, adapt=True, grad_clip=20.0):
+    """Adaptive Metropolis core: ``n_moves`` sweeps of either
+    random-walk ('rwm') or Langevin ('mala') proposals preconditioned by
+    the ensemble covariance, with the log step size updated by
+    Robbins-Monro toward ``target_accept`` after every sweep.
+
+    The step size is ``s = exp(log_scale)`` applied DIRECTLY to the
+    Cholesky factor (the dimension scaling lives in
+    :func:`initial_log_scale`, so adaptation is free to move off it).
+    MALA gradients are sanitized (non-finite → 0) and norm-clipped at
+    ``grad_clip·√d`` in whitened coordinates — a truncated-drift MALA
+    whose proposal density uses the SAME truncated drift, so detailed
+    balance is exact (Roberts & Tweedie 1996 §4 truncation).
+
+    :return: ``(locations, mean_acceptance, log_scale, adapt_t)`` —
+        thread the last two back in at the next rejuvenation event.
+    """
+    n, d = locations.shape
+    log_pdf = resolve_prior_log_pdf(prior)
+    chol = _ensemble_chol(locations)
+    sqrt_d = jnp.sqrt(jnp.asarray(float(d), locations.dtype))
+    log_scale = jnp.asarray(log_scale, locations.dtype)
+    adapt_t = jnp.asarray(adapt_t, jnp.int32)
+
+    def posterior_lp(x, k):
+        return record_ll(x, k) + log_pdf(x)
+
+    if method == "mala":
+        if keyed:
+            raise ValueError(
+                "MALA rejuvenation requires a deterministic likelihood "
+                "(Monte-Carlo likelihoods have no usable gradient; use "
+                "method='rwm')")
+
+        def lp_and_whitened_grad(x):
+            lp, pull = jax.vjp(lambda xx: posterior_lp(xx, None), x)
+            g = pull(jnp.ones_like(lp))[0]
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            u = g @ chol                       # ∂lp/∂y, y = A⁻¹x
+            norm = jnp.linalg.norm(u, axis=1, keepdims=True)
+            cap = grad_clip * sqrt_d
+            u = u * jnp.minimum(1.0, cap / jnp.maximum(norm, 1e-30))
+            return lp, u
+
+        def body(carry, k):
+            x, lp, u, ls, t = carry
+            s = jnp.exp(ls)
+            k_prop, k_acc = jax.random.split(k)
+            xi = jax.random.normal(k_prop, (n, d), x.dtype)
+            drift = 0.5 * s * s * u
+            disp_w = drift + s * xi            # whitened displacement
+            prop = x + disp_w @ chol.T
+            valid = model.are_models_valid(prop)
+            lp_p, u_p = lp_and_whitened_grad(prop)
+            drift_p = 0.5 * s * s * u_p
+            # q densities in whitened coords — no solves needed:
+            # forward residual is s·ξ by construction; reverse is
+            # (−disp_w − drift') since y − y' = −disp_w
+            inv2s2 = 0.5 / (s * s)
+            log_q_fwd = -0.5 * jnp.sum(xi * xi, axis=1)
+            rev = -disp_w - drift_p
+            log_q_rev = -inv2s2 * jnp.sum(rev * rev, axis=1)
+            log_u = jnp.log(jax.random.uniform(k_acc, (n,), x.dtype))
+            accept = valid & (log_u < lp_p + log_q_rev - lp - log_q_fwd)
+            x = jnp.where(accept[:, None], prop, x)
+            lp = jnp.where(accept, lp_p, lp)
+            u = jnp.where(accept[:, None], u_p, u)
+            acc = jnp.mean(accept.astype(jnp.float32))
+            if adapt:
+                ls = jnp.clip(ls + _rm_gain(t) * (acc - target_accept),
+                              _LOG_SCALE_MIN, _LOG_SCALE_MAX)
+            return (x, lp, u, ls, t + 1), acc
+
+        lp0, u0 = lp_and_whitened_grad(locations)
+        (x, _, _, log_scale, adapt_t), acc = jax.lax.scan(
+            body, (locations, lp0, u0, log_scale, adapt_t),
+            jax.random.split(key, n_moves))
+    elif method == "rwm":
+        def body(carry, k):
+            x, lp, ls, t = carry
+            s = jnp.exp(ls)
+            k_prop, k_acc, k_like = jax.random.split(k, 3)
+            prop = x + s * (jax.random.normal(k_prop, (n, d), x.dtype)
+                            @ chol.T)
+            valid = model.are_models_valid(prop)
+            lp_prop = posterior_lp(prop, k_like)
+            if keyed:
+                # MCWM: re-estimate BOTH sides with common random numbers
+                lp = posterior_lp(x, k_like)
+            log_u = jnp.log(jax.random.uniform(k_acc, (n,), x.dtype))
+            accept = valid & (log_u < lp_prop - lp)
+            x = jnp.where(accept[:, None], prop, x)
+            lp = jnp.where(accept, lp_prop, lp)
+            acc = jnp.mean(accept.astype(jnp.float32))
+            if adapt:
+                ls = jnp.clip(ls + _rm_gain(t) * (acc - target_accept),
+                              _LOG_SCALE_MIN, _LOG_SCALE_MAX)
+            return (x, lp, ls, t + 1), acc
+
+        k_init, k_scan = jax.random.split(key)
+        lp0 = (jnp.zeros(n, locations.dtype) if keyed
+               else posterior_lp(locations, k_init))
+        (x, _, log_scale, adapt_t), acc = jax.lax.scan(
+            body, (locations, lp0, log_scale, adapt_t),
+            jax.random.split(k_scan, n_moves))
+    else:
+        raise ValueError(f"unknown MCMC method {method!r} "
+                         "(expected 'rwm' or 'mala')")
+    if canonicalize:
+        x = model.canonicalize(x)
+    return x, jnp.mean(acc), log_scale, adapt_t
+
+
+def mcmc_rejuvenate_adaptive(model, prior, key, locations, outcomes,
+                             eps_record, mask, n_moves, log_scale, adapt_t,
+                             method="mala", target_accept=None,
+                             canonicalize=True, adapt=True):
+    """Adaptive twin of :func:`mcmc_rejuvenate`: MALA or RWM proposals
+    with Robbins-Monro step adaptation on the full-record target.
+
+    :return: ``(locations, mean_acceptance, log_scale, adapt_t)``.
+    """
+    keyed = getattr(model, "wants_likelihood_key", False)
+    if target_accept is None:
+        target_accept = default_target_accept(method)
+
+    def record_ll(x, k):
+        return record_log_likelihood(
+            model, x, outcomes, eps_record, mask, key=k if keyed else None)
+
+    return _mh_moves_adaptive(model, prior, key, locations, record_ll,
+                              n_moves, log_scale, adapt_t, method,
+                              target_accept, keyed, canonicalize,
+                              adapt=adapt)
+
+
+def mcmc_rejuvenate_binomial_adaptive(model, prior, key, locations, succ,
+                                      trials, eps_pool, n_moves, log_scale,
+                                      adapt_t, method="mala",
+                                      target_accept=None, canonicalize=True,
+                                      adapt=True):
+    """Adaptive twin of :func:`mcmc_rejuvenate_binomial`: the compressed
+    sufficient-statistic target, whose gradient under MALA is two extra
+    matvecs through :func:`binomial_record_log_likelihood`.
+
+    :return: ``(locations, mean_acceptance, log_scale, adapt_t)``.
+    """
+    from .derived_models import BinomialModel
+
+    two = model.underlying_model if isinstance(model, BinomialModel) \
+        else model
+    if getattr(two, "wants_likelihood_key", False):
+        raise ValueError(
+            "sufficient-statistic rejuvenation requires a deterministic "
+            "two-outcome likelihood (see mcmc_rejuvenate_binomial)")
+    if target_accept is None:
+        target_accept = default_target_accept(method)
+
+    def record_ll(x, _k):
+        return binomial_record_log_likelihood(two, x, succ, trials,
+                                              eps_pool)
+
+    return _mh_moves_adaptive(model, prior, key, locations, record_ll,
+                              n_moves, log_scale, adapt_t, method,
+                              target_accept, keyed=False,
+                              canonicalize=canonicalize, adapt=adapt)
+
+
 #: Jitted entries for host-side callers (``SMCUpdater._rejuvenate_now``).
 mcmc_rejuvenate_jit = partial(
     jax.jit, static_argnames=("n_moves", "canonicalize"))(mcmc_rejuvenate)
@@ -417,3 +688,9 @@ mcmc_rejuvenate_binomial_jit = partial(
 waste_free_rejuvenate_binomial_jit = partial(
     jax.jit, static_argnames=("n_stages", "canonicalize"))(
     waste_free_rejuvenate_binomial)
+mcmc_rejuvenate_adaptive_jit = partial(
+    jax.jit, static_argnames=("n_moves", "method", "canonicalize",
+                              "adapt"))(mcmc_rejuvenate_adaptive)
+mcmc_rejuvenate_binomial_adaptive_jit = partial(
+    jax.jit, static_argnames=("n_moves", "method", "canonicalize",
+                              "adapt"))(mcmc_rejuvenate_binomial_adaptive)

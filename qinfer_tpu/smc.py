@@ -376,7 +376,8 @@ def _update_step_eager(model, resampler, state, outcome, eps,
 @partial(jax.jit, static_argnames=("resample_interval", "check_resample",
                                    "n_mcmc_moves", "sufficient",
                                    "mcmc_canonicalize",
-                                   "waste_free_stages"))
+                                   "waste_free_stages", "use_adaptive",
+                                   "mcmc_method", "mcmc_adapt"))
 def _batch_update(model, resampler, state, outcomes, eps_batch,
                   resample_thresh, zero_weight_thresh,
                   resample_interval=5, check_resample=True,
@@ -384,7 +385,9 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
                   n_mcmc_moves=0, proposal_scale=2.38,
                   sufficient=False, pool_eps=None, pool_idx=None,
                   succ0=None, trials0=None, succ_inc=None, trials_inc=None,
-                  mcmc_canonicalize=True, waste_free_stages=0):
+                  mcmc_canonicalize=True, waste_free_stages=0,
+                  use_adaptive=False, mcmc_method="rwm", mcmc_adapt=False,
+                  target_accept=0.234, log_scale0=0.0, adapt_t0=0):
     """``lax.scan`` over a whole experiment record.
 
     Reference parity: ``smc.py::SMCUpdater.batch_update(resample_interval)``
@@ -413,9 +416,16 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
     rejuvenating = n_mcmc_moves > 0 or waste_free_stages > 0
 
     def step(carry, inp):
+        ls = t = None
         if sufficient and rejuvenating:
-            st, succ, trials = carry
+            if use_adaptive:
+                st, succ, trials, ls, t = carry
+            else:
+                st, succ, trials = carry
             outcome, eps, idx, c_idx, s_inc, t_inc = inp
+        elif use_adaptive:
+            st, ls, t = carry
+            outcome, eps, idx = inp
         else:
             st = carry
             outcome, eps, idx = inp
@@ -462,10 +472,26 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
                 new_st)
             return (new_st, succ, trials), log_norm
         if sufficient and n_mcmc_moves > 0:
-            from .rejuvenation import mcmc_rejuvenate_binomial
-
             succ = succ.at[c_idx].add(s_inc)
             trials = trials.at[c_idx].add(t_inc)
+            if use_adaptive:
+                from .rejuvenation import mcmc_rejuvenate_binomial_adaptive
+
+                def move(op):
+                    s, ls_, t_ = op
+                    key, sub = jax.random.split(s.key)
+                    x, _, ls_, t_ = mcmc_rejuvenate_binomial_adaptive(
+                        model, prior, sub, s.locations, succ, trials,
+                        pool_eps, n_mcmc_moves, ls_, t_,
+                        method=mcmc_method, target_accept=target_accept,
+                        canonicalize=mcmc_canonicalize, adapt=mcmc_adapt)
+                    return s._replace(locations=x, key=key), ls_, t_
+
+                new_st, ls, t = jax.lax.cond(
+                    new_st.just_resampled, move, lambda op: op,
+                    (new_st, ls, t))
+                return (new_st, succ, trials, ls, t), log_norm
+            from .rejuvenation import mcmc_rejuvenate_binomial
 
             def move(s):
                 key, sub = jax.random.split(s.key)
@@ -479,6 +505,25 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
                                   lambda s: s, new_st)
             return (new_st, succ, trials), log_norm
         if n_mcmc_moves > 0:
+            if use_adaptive:
+                from .rejuvenation import mcmc_rejuvenate_adaptive
+
+                def move(op):
+                    s, ls_, t_ = op
+                    key, sub = jax.random.split(s.key)
+                    mask = (jnp.arange(rec_outcomes.shape[0])
+                            < (n_past + idx + 1))
+                    x, _, ls_, t_ = mcmc_rejuvenate_adaptive(
+                        model, prior, sub, s.locations, rec_outcomes,
+                        rec_eps, mask, n_mcmc_moves, ls_, t_,
+                        method=mcmc_method, target_accept=target_accept,
+                        canonicalize=mcmc_canonicalize, adapt=mcmc_adapt)
+                    return s._replace(locations=x, key=key), ls_, t_
+
+                new_st, ls, t = jax.lax.cond(
+                    new_st.just_resampled, move, lambda op: op,
+                    (new_st, ls, t))
+                return (new_st, ls, t), log_norm
             from .rejuvenation import mcmc_rejuvenate
 
             def move(s):
@@ -497,11 +542,23 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
 
     n_steps = outcomes.shape[0]
     idxs = jnp.arange(n_steps)
+    ls0 = jnp.asarray(log_scale0, state.locations.dtype)
+    t0 = jnp.asarray(adapt_t0, jnp.int32)
     if sufficient and rejuvenating:
+        if use_adaptive:
+            (final, _, _, ls, t), norms = jax.lax.scan(
+                step, (state, succ0, trials0, ls0, t0),
+                (outcomes, eps_batch, idxs, pool_idx, succ_inc,
+                 trials_inc))
+            return final, norms, ls, t
         (final, _, _), norms = jax.lax.scan(
             step, (state, succ0, trials0),
             (outcomes, eps_batch, idxs, pool_idx, succ_inc, trials_inc))
         return final, norms
+    if use_adaptive:
+        (final, ls, t), norms = jax.lax.scan(
+            step, (state, ls0, t0), (outcomes, eps_batch, idxs))
+        return final, norms, ls, t
     final, norms = jax.lax.scan(step, state, (outcomes, eps_batch, idxs))
     return final, norms
 
@@ -653,6 +710,20 @@ class SMCUpdater:
         decorrelate P-fold-copied ancestors, so prefer this when the
         model dimension is at most the chain length and keep Liu-West +
         ``n_mcmc_moves`` above that.
+    :param str mcmc_method: rejuvenation proposal family — ``'rwm'``
+        (random walk, the default) or ``'mala'`` (Langevin: proposals
+        drift along ∇ log posterior; two extra matvecs on compressed
+        binomial records, optimal acceptance 0.574 vs 0.234). MALA
+        requires a deterministic likelihood.
+    :param bool mcmc_adapt: Robbins-Monro adaptation of the proposal
+        step size toward ``mcmc_target_accept`` after every Metropolis
+        sweep (:mod:`qinfer_tpu.rejuvenation`). With adaptation on,
+        ``mcmc_proposal_scale`` only seeds the initial scale (left at
+        its 2.38 default, the method's optimal-scaling constant is used
+        instead) and the adapted state persists across updates and
+        checkpoints.
+    :param float mcmc_target_accept: acceptance target for adaptation
+        (default: 0.234 for 'rwm', 0.574 for 'mala').
     """
 
     def __init__(self, model, n_particles, prior,
@@ -663,7 +734,8 @@ class SMCUpdater:
                  canonicalize=True, seed=0, sharding=None,
                  n_mcmc_moves=0, mcmc_proposal_scale=2.38,
                  compress_mcmc_record=False, mcmc_canonicalize=True,
-                 waste_free_stages=0):
+                 waste_free_stages=0, mcmc_method="rwm",
+                 mcmc_adapt=False, mcmc_target_accept=None):
         self.model = model
         self.prior = prior
         self._n_particles = int(n_particles)
@@ -680,8 +752,43 @@ class SMCUpdater:
         self.n_mcmc_moves = int(n_mcmc_moves)
         self.mcmc_proposal_scale = float(mcmc_proposal_scale)
         self.mcmc_canonicalize = bool(mcmc_canonicalize)
+        self.mcmc_method = str(mcmc_method)
+        self.mcmc_adapt = bool(mcmc_adapt)
         self._rejuvenating = (int(n_mcmc_moves) > 0
                               or int(waste_free_stages) > 0)
+        # adaptive kernel: whenever the method is not the legacy fixed
+        # random walk, or adaptation is requested (the adaptive core with
+        # adapt=False is fixed-scale MALA)
+        self._use_adaptive_kernel = (int(n_mcmc_moves) > 0
+                                     and (self.mcmc_adapt
+                                          or self.mcmc_method != "rwm"))
+        self.mcmc_target_accept = None
+        self._mcmc_log_scale0 = 0.0
+        if self.mcmc_adapt or self.mcmc_method != "rwm":
+            from .rejuvenation import (default_target_accept,
+                                       initial_log_scale)
+
+            # validates the method string too
+            self.mcmc_target_accept = (
+                default_target_accept(self.mcmc_method)
+                if mcmc_target_accept is None else float(mcmc_target_accept))
+            if (self.mcmc_method == "mala"
+                    and getattr(model, "wants_likelihood_key", False)):
+                raise ValueError(
+                    "mcmc_method='mala' requires a deterministic "
+                    "likelihood (Monte-Carlo likelihoods have no usable "
+                    "gradient; use mcmc_method='rwm')")
+            if int(waste_free_stages) > 0:
+                raise ValueError(
+                    "mcmc_adapt / mcmc_method='mala' apply to the "
+                    "post-resample move kernel (n_mcmc_moves), not the "
+                    "waste-free kernel")
+            # a proposal_scale left at the 2.38 default means "use the
+            # method's optimal-scaling constant" (2.38 IS the RWM one)
+            ps = (None if float(mcmc_proposal_scale) == 2.38
+                  else float(mcmc_proposal_scale))
+            self._mcmc_log_scale0 = initial_log_scale(
+                int(model.n_modelparams), self.mcmc_method, ps)
         if self._rejuvenating:
             # resample-move targets prior × Π likelihood over the record —
             # only meaningful for STATIC parameters and tractable priors;
@@ -781,6 +888,11 @@ class SMCUpdater:
         self._pool_eps = []     # single-experiment two-outcome expparams
         self._pool_succ = []
         self._pool_trials = []
+        # adaptive-kernel state: Robbins-Monro-adapted log step size and
+        # sweep counter (persist across updates; checkpointed)
+        self._mcmc_log_scale = float(self._mcmc_log_scale0)
+        self._mcmc_adapt_t = 0
+        self.mcmc_acceptance_record = []
         self.resampling_divergences = [] if self.track_resampling_divergence else None
 
     def _shard_state(self, state):
@@ -1047,7 +1159,8 @@ class SMCUpdater:
                 n_mcmc_moves=self.n_mcmc_moves,
                 proposal_scale=self.mcmc_proposal_scale,
                 mcmc_canonicalize=self.mcmc_canonicalize,
-                waste_free_stages=self.waste_free_stages)
+                waste_free_stages=self.waste_free_stages,
+                **self._adaptive_kwargs())
         elif self.n_mcmc_moves > 0:
             n_past = len(self._eps_record)
             if n_past:
@@ -1075,11 +1188,20 @@ class SMCUpdater:
                 rec_eps=rec_eps, n_past=jnp.asarray(n_past, jnp.int32),
                 n_mcmc_moves=self.n_mcmc_moves,
                 proposal_scale=self.mcmc_proposal_scale,
-                mcmc_canonicalize=self.mcmc_canonicalize)
-        new_state, log_norms = _batch_update(
+                mcmc_canonicalize=self.mcmc_canonicalize,
+                **self._adaptive_kwargs())
+        ret = _batch_update(
             self.model, self.resampler, self._state, outcomes, eps,
             self.resample_thresh, self.zero_weight_thresh,
             resample_interval=int(resample_interval), **move_kwargs)
+        if move_kwargs.get("use_adaptive", False):
+            # the adapted Robbins-Monro state commits only with the batch:
+            # the zero-weight 'error' replay below re-runs the sequential
+            # path from the PRE-batch state and re-adapts step by step
+            new_state, log_norms, adapted_ls, adapted_t = ret
+        else:
+            new_state, log_norms = ret
+            adapted_ls = adapted_t = None
         zero_events = int(new_state.zero_weight_count) - int(
             self._state.zero_weight_count)
         if zero_events > 0 and self.zero_weight_policy == "error":
@@ -1131,6 +1253,9 @@ class SMCUpdater:
             self._handle_zero_weight()
         if zero_events > 0:
             self._handle_zero_weight()
+        if adapted_ls is not None:
+            self._mcmc_log_scale = float(adapted_ls)
+            self._mcmc_adapt_t = int(adapted_t)
         self._warn_resampler_fallback(
             int(new_state.resampler_fallback_count)
             - int(self._state.resampler_fallback_count))
@@ -1224,6 +1349,19 @@ class SMCUpdater:
             self._rejuvenate_now()
 
     # -- resample-move rejuvenation (qinfer_tpu.rejuvenation) ---------------
+
+    def _adaptive_kwargs(self):
+        """Adaptive-kernel kwargs for ``_batch_update``: empty when the
+        legacy fixed-scale path is active (so existing jit cache keys are
+        untouched); otherwise the method/adapt statics plus the current
+        Robbins-Monro state to thread through the scan carry."""
+        if not self._use_adaptive_kernel:
+            return {}
+        return dict(use_adaptive=True, mcmc_method=self.mcmc_method,
+                    mcmc_adapt=self.mcmc_adapt,
+                    target_accept=jnp.float32(self.mcmc_target_accept),
+                    log_scale0=jnp.float32(self._mcmc_log_scale),
+                    adapt_t0=jnp.int32(self._mcmc_adapt_t))
 
     def _record_arrays(self):
         """The experiment record as stacked device buffers:
@@ -1351,16 +1489,34 @@ class SMCUpdater:
         if T == 0:
             return
         if self.compress_mcmc_record:
-            from .rejuvenation import mcmc_rejuvenate_binomial_jit
-
             pool_eps, succ, trials = self._pool_arrays()
             st = self._state
             key, sub = jax.random.split(st.key)
-            x, _ = mcmc_rejuvenate_binomial_jit(
-                self.model, self.prior, sub, st.locations, succ, trials,
-                pool_eps, n_moves=self.n_mcmc_moves,
-                proposal_scale=self.mcmc_proposal_scale,
-                canonicalize=self.mcmc_canonicalize)
+            if self._use_adaptive_kernel:
+                from .rejuvenation import \
+                    mcmc_rejuvenate_binomial_adaptive_jit
+
+                x, acc, ls, t = mcmc_rejuvenate_binomial_adaptive_jit(
+                    self.model, self.prior, sub, st.locations, succ,
+                    trials, pool_eps, n_moves=self.n_mcmc_moves,
+                    log_scale=self._mcmc_log_scale,
+                    adapt_t=self._mcmc_adapt_t,
+                    method=self.mcmc_method,
+                    target_accept=self.mcmc_target_accept,
+                    canonicalize=self.mcmc_canonicalize,
+                    adapt=self.mcmc_adapt)
+                self._mcmc_log_scale = float(ls)
+                self._mcmc_adapt_t = int(t)
+                self.mcmc_acceptance_record.append(float(acc))
+            else:
+                from .rejuvenation import mcmc_rejuvenate_binomial_jit
+
+                x, acc = mcmc_rejuvenate_binomial_jit(
+                    self.model, self.prior, sub, st.locations, succ,
+                    trials, pool_eps, n_moves=self.n_mcmc_moves,
+                    proposal_scale=self.mcmc_proposal_scale,
+                    canonicalize=self.mcmc_canonicalize)
+                self.mcmc_acceptance_record.append(float(acc))
             self._state = st._replace(locations=x, key=key)
             return
         from .rejuvenation import mcmc_rejuvenate_jit
@@ -1377,11 +1533,27 @@ class SMCUpdater:
         mask = jnp.arange(Tp) < T
         st = self._state
         key, sub = jax.random.split(st.key)
-        x, _ = mcmc_rejuvenate_jit(
-            self.model, self.prior, sub, st.locations, outs, eps_rec,
-            mask, n_moves=self.n_mcmc_moves,
-            proposal_scale=self.mcmc_proposal_scale,
-            canonicalize=self.mcmc_canonicalize)
+        if self._use_adaptive_kernel:
+            from .rejuvenation import mcmc_rejuvenate_adaptive_jit
+
+            x, acc, ls, t = mcmc_rejuvenate_adaptive_jit(
+                self.model, self.prior, sub, st.locations, outs, eps_rec,
+                mask, n_moves=self.n_mcmc_moves,
+                log_scale=self._mcmc_log_scale,
+                adapt_t=self._mcmc_adapt_t, method=self.mcmc_method,
+                target_accept=self.mcmc_target_accept,
+                canonicalize=self.mcmc_canonicalize,
+                adapt=self.mcmc_adapt)
+            self._mcmc_log_scale = float(ls)
+            self._mcmc_adapt_t = int(t)
+            self.mcmc_acceptance_record.append(float(acc))
+        else:
+            x, acc = mcmc_rejuvenate_jit(
+                self.model, self.prior, sub, st.locations, outs, eps_rec,
+                mask, n_moves=self.n_mcmc_moves,
+                proposal_scale=self.mcmc_proposal_scale,
+                canonicalize=self.mcmc_canonicalize)
+            self.mcmc_acceptance_record.append(float(acc))
         self._state = st._replace(locations=x, key=key)
 
     # -- estimators --------------------------------------------------------

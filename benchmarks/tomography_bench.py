@@ -108,6 +108,14 @@ def main():
                         "semantics; 0 = every step). Fewer resamples "
                         "means fewer resample-move events on the "
                         "flagship configs")
+    parser.add_argument("--strict-resample-canonicalize",
+                        action="store_true",
+                        help="force the resampler's own strict "
+                        "model.canonicalize even when --moves > 0 "
+                        "(round-4 behavior; by default move configs use "
+                        "the validity-tolerant Liu-West contract — the "
+                        "moves re-gate validity and own the strict "
+                        "projection)")
     parser.add_argument("--no-move-canonicalize", action="store_true",
                         help="skip the strict PSD re-projection at the "
                         "end of each rejuvenation call (accepted "
@@ -147,7 +155,10 @@ def main():
     from qinfer_tpu.smc import SMCState, _update_step_impl
     from qinfer_tpu.resamplers import LiuWestResampler
 
-    resampler = LiuWestResampler(a=0.98, maxiter=4)
+    resampler = LiuWestResampler(
+        a=0.98, maxiter=4,
+        canonicalize=(args.moves == 0 and args.waste_free == 0)
+        or args.strict_resample_canonicalize)
     n = args.particles
 
     if args.process:

@@ -382,11 +382,22 @@ class LiuWestResampler(Resampler):
         strategy (``'pallas'``/``'scan'``/``'telescope'``; None = auto).
         Benchmarks use this to measure the Pallas-vs-XLA fill delta
         through the full engine.
+    :param bool canonicalize: apply ``model.canonicalize`` to the output
+        ensemble (default, reference parity). ``False`` is the
+        validity-tolerant contract for resample-MOVE configs (round 5):
+        the output is still within the model's validity tolerance
+        (postselection + ancestor fallback), and the Metropolis moves
+        that follow re-gate validity per proposal and re-apply the
+        strict projection at the end of the move block — so the
+        intermediate strict projection here (~88 ms per event at
+        embedded d = 32, the flagship's dominant resample cost) is
+        redundant. The engine selects this automatically when
+        ``n_mcmc_moves > 0`` and no explicit resampler is given.
     """
 
     def __init__(self, a=0.98, h=None, maxiter=10, debug=False,
                  postselect=True, zero_cov_comp=1e-10, kernel=None,
-                 kind="systematic", fill_strategy=None):
+                 kind="systematic", fill_strategy=None, canonicalize=True):
         self.a = float(a)
         self.h = float(h) if h is not None else math.sqrt(max(1.0 - a ** 2, 0.0))
         self.maxiter = int(maxiter)
@@ -402,6 +413,7 @@ class LiuWestResampler(Resampler):
                 "fill_strategy must be None, 'pallas', 'scan' or "
                 "'telescope'")
         self.fill_strategy = fill_strategy
+        self.canonicalize = bool(canonicalize)
 
     def __call__(self, model, key, particle_weights, particle_locations):
         w, x, _ = self.call_with_diagnostics(
@@ -489,13 +501,16 @@ class LiuWestResampler(Resampler):
             n_fallback = jnp.sum(~valid).astype(jnp.int32)
             new_x = jnp.where(valid[:, None], new_x, x_anc)
 
-        # canonicalize unconditionally (reference parity: the reference
-        # applies it after every resample). The redraw loop above only
-        # guarantees validity within the model's psd_tol, while
-        # canonicalize may promise a strictly tighter invariant (e.g.
-        # TomographyModel projects anything outside 1e-6 of the PSD
-        # cone); models gate their own expensive projections internally,
-        # so this call is cheap on the all-valid common path.
-        new_x = model.canonicalize(new_x)
+        # canonicalize by default (reference parity: the reference applies
+        # it after every resample). The redraw loop above only guarantees
+        # validity within the model's psd_tol, while canonicalize may
+        # promise a strictly tighter invariant (e.g. TomographyModel
+        # projects anything outside 1e-6 of the PSD cone); models gate
+        # their own expensive projections internally, so this call is
+        # cheap on the all-valid common path. Resample-MOVE configs skip
+        # it (ctor flag) — the move block re-gates validity and owns the
+        # strict projection.
+        if self.canonicalize:
+            new_x = model.canonicalize(new_x)
         new_w = jnp.full((n,), 1.0 / n, dtype=w.dtype)
         return new_w, new_x, n_fallback

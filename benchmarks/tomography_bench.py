@@ -88,12 +88,18 @@ def main():
                         "--proposal-scale (which only seeds the initial "
                         "scale; left at 2.38 the method default is used)")
     parser.add_argument("--eig-policy", default="greedy",
-                        choices=["greedy", "egreedy", "softmax"],
+                        choices=["greedy", "egreedy", "softmax", "auto"],
                         help="candidate-selection policy for --eig "
                         "(expdesign.select_candidate; greedy = round-3 "
                         "argmax, the measured-myopic baseline)")
     parser.add_argument("--eig-epsilon", type=float, default=0.25,
                         help="exploration rate for --eig-policy egreedy")
+    parser.add_argument("--eig-interval", type=int, default=1,
+                        help="rescore the candidate pool only every K-th "
+                        "step AND whenever the previous step resampled "
+                        "(round 5 score amortization: between resamples "
+                        "the posterior drifts slowly, so cached scores "
+                        "select nearly as well; 1 = rescore every step)")
     parser.add_argument("--waste-free", type=int, default=0,
                         help="replace the Liu-West resample + K moves "
                         "with waste-free resample-move (Dau-Chopin): "
@@ -229,25 +235,32 @@ def main():
             eig_outcomes = jnp.arange(2)
             two_model = model  # bind BEFORE any BinomialModel rebind
 
-            def propose_with_pool_idx(key, weights, locations, idx):
-                scores = _expected_information_gain(
+            def pool_scores(weights, locations):
+                return _expected_information_gain(
                     two_model, weights, locations, eig_outcomes,
                     eig_mask, pool_eps)
+
+            def propose_with_pool_idx(key, weights, locations, idx,
+                                      scores=None):
+                if scores is None:
+                    scores = pool_scores(weights, locations)
                 pick = select_candidate(key, scores,
                                         policy=args.eig_policy,
                                         epsilon=args.eig_epsilon)
                 return ({"prep": pool_eps["prep"][pick][None],
                          "meas": pool_eps["meas"][pick][None]}, pick)
         else:
-            def propose_with_pool_idx(key, weights, locations, idx):
+            def propose_with_pool_idx(key, weights, locations, idx,
+                                      scores=None):
                 k1, k2 = jax.random.split(key)
                 i = jax.random.randint(k1, (), 0, n_fid)
                 j = jax.random.randint(k2, (), 0, n_fid)
                 return ({"prep": fid[i][None], "meas": fid[j][None]},
                         i * n_fid + j)
 
-        def propose(key, weights, locations, idx):
-            return propose_with_pool_idx(key, weights, locations, idx)[0]
+        def propose(key, weights, locations, idx, scores=None):
+            return propose_with_pool_idx(key, weights, locations, idx,
+                                         scores)[0]
     elif args.diffusive:
         b2 = tomo.pauli_basis(2)
         model = tomo.DiffusiveTomographyModel(
@@ -331,22 +344,29 @@ def main():
             eig_outcomes = jnp.arange(2)
             two_model = model  # bind BEFORE any BinomialModel rebind
 
-            def propose_with_pool_idx(key, weights, locations, idx):
-                scores = _expected_information_gain(
+            def pool_scores(weights, locations):
+                return _expected_information_gain(
                     two_model, weights, locations, eig_outcomes,
                     eig_mask, {"meas": cand})
+
+            def propose_with_pool_idx(key, weights, locations, idx,
+                                      scores=None):
+                if scores is None:
+                    scores = pool_scores(weights, locations)
                 pick = select_candidate(
                     key, scores, policy=args.eig_policy,
                     epsilon=args.eig_epsilon)
                 return {"meas": cand[pick][None]}, pick
         else:
-            def propose_with_pool_idx(key, weights, locations, idx):
+            def propose_with_pool_idx(key, weights, locations, idx,
+                                      scores=None):
                 k1, _ = jax.random.split(key)
                 pick = jax.random.randint(k1, (), 0, n_pool)
                 return {"meas": heur.proj_coords[pick][None]}, pick
 
-        def propose(key, weights, locations, idx):
-            return propose_with_pool_idx(key, weights, locations, idx)[0]
+        def propose(key, weights, locations, idx, scores=None):
+            return propose_with_pool_idx(key, weights, locations, idx,
+                                         scores)[0]
 
     tomo_model = model  # coordinate<->state conversions stay on the base
     if args.shots > 0:
@@ -363,8 +383,8 @@ def main():
         shots_arr = jnp.full((1,), args.shots, jnp.int32)
         _propose_two = propose
 
-        def propose(key, weights, locations, idx):
-            eps = dict(_propose_two(key, weights, locations, idx))
+        def propose(key, weights, locations, idx, scores=None):
+            eps = dict(_propose_two(key, weights, locations, idx, scores))
             eps["n_meas"] = shots_arr
             return eps
 
@@ -423,7 +443,12 @@ def main():
         ls_init = initial_log_scale(int(model.n_modelparams),
                                     args.mcmc_method, ps_seed)
 
-    def step(carry, idx):
+    # EIG score amortization (round 5): with --eig-interval K > 1 the pool
+    # scores ride in the scan carry and are refreshed only every K-th step
+    # or right after a resample (just_resampled on the carried state)
+    carry_scores = args.eig and args.eig_interval > 1
+
+    def step_core(carry, idx, scores=None):
         ls = t_ad = None
         if use_adaptive:
             st, key, true, succ, trials, acc_sum, ls, t_ad = carry
@@ -436,12 +461,12 @@ def main():
         key, k_h, k_sim = jax.random.split(key, 3)
         if sufficient:
             eps, pool_idx = propose_with_pool_idx(
-                k_h, st.weights, st.locations, idx)
+                k_h, st.weights, st.locations, idx, scores)
             if args.shots > 0:
                 eps = dict(eps)
                 eps["n_meas"] = shots_arr
         else:
-            eps = propose(k_h, st.weights, st.locations, idx)
+            eps = propose(k_h, st.weights, st.locations, idx, scores)
         outcome = model.simulate_experiment(k_sim, true, eps)
         outcome = jnp.asarray(outcome).reshape(-1)[:1]
         if bool(model.is_time_dependent):
@@ -547,6 +572,22 @@ def main():
             return (new_st, key, true, rec_o, rec_e), ()
         return (new_st, key, true), ()
 
+    if carry_scores:
+        def step(carry, idx):
+            inner, prev_scores = carry
+            st0 = inner[0]
+
+            def fresh(_):
+                return pool_scores(st0.weights, st0.locations)
+
+            scores = jax.lax.cond(
+                (idx % args.eig_interval == 0) | st0.just_resampled,
+                fresh, lambda _: prev_scores, None)
+            new_inner, _ = step_core(inner, idx, scores)
+            return (new_inner, scores), ()
+    else:
+        step = step_core
+
     # one compiled chunk-step scan, invoked ceil(steps/chunk) times with a
     # traced offset (all invocations share the one compilation); chunk=0
     # keeps the whole loop in a single program. C / n_chunks / total_steps
@@ -567,12 +608,18 @@ def main():
             carry = (st, key, true_mps, rec_out0, rec_eps0)
         else:
             carry = (st, key, true_mps)
+        if carry_scores:
+            # idx=0 hits the `idx % K == 0` refresh, so zeros never select
+            carry = (carry, jnp.zeros((n_pool,), jnp.float32))
         chunk_walls = []
         for c in range(n_chunks):
             t0 = time.perf_counter()
             carry = run_chunk(carry, jnp.int32(c * C))
-            jax.block_until_ready(carry[0].weights)
+            jax.block_until_ready(
+                (carry[0][0] if carry_scores else carry[0]).weights)
             chunk_walls.append(time.perf_counter() - t0)
+        if carry_scores:
+            carry = carry[0]
         acc = carry[5] if sufficient else None
         final_ls = float(carry[6]) if use_adaptive else None
         return carry[0], carry[2], acc, chunk_walls, final_ls
@@ -639,6 +686,7 @@ def main():
         "shots": int(args.shots),
         "eig_design": bool(args.eig),
         "eig_policy": (args.eig_policy if args.eig else None),
+        "eig_interval": (int(args.eig_interval) if args.eig else None),
         "value": round(ups, 1),
         "fidelity": round(fidelity, 4),
         "resamples": n_resamples,

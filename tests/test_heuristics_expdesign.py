@@ -402,3 +402,82 @@ def test_design_from_candidates_binomial_process():
     assert u._n_record == 12
     # the posterior genuinely tightened
     assert float(u.min_n_ess) < 1024
+
+
+def test_select_candidate_auto_policy():
+    """'auto' (round 5) is egreedy when the relative score spread is
+    small (early horizon) and softmax when it is large (late horizon)."""
+    from qinfer_tpu.expdesign import select_candidate
+
+    keys = jax.random.split(jax.random.key(0), 512)
+    # tiny relative spread (std/mean ~ 0.005): behaves like egreedy —
+    # argmax dominates, explore rate ~ epsilon
+    flat = jnp.asarray([1.0, 1.001, 1.002, 1.01, 1.0])
+    picks = jax.vmap(lambda k: select_candidate(
+        k, flat, policy="auto", epsilon=0.1))(keys)
+    frac_argmax = float(jnp.mean((picks == 3).astype(jnp.float32)))
+    assert frac_argmax > 0.85
+    # large relative spread (std/mean ~ 0.5): behaves like self-scaled
+    # softmax — top candidates share probability, argmax NOT dominant
+    spread = jnp.asarray([0.1, 0.5, 1.0, 1.5, 2.0])
+    picks = jax.vmap(lambda k: select_candidate(
+        k, spread, policy="auto", epsilon=0.1))(keys)
+    frac_argmax = float(jnp.mean((picks == 4).astype(jnp.float32)))
+    assert 0.2 < frac_argmax < 0.8
+    # jit-safe
+    idx = jax.jit(lambda k, s: select_candidate(k, s, policy="auto"))(
+        jax.random.key(1), spread)
+    assert 0 <= int(idx) < 5
+
+
+def test_pool_designer_amortizes_rescoring():
+    """PoolDesigner rescored-call accounting: with rescore_interval=4 and
+    no resamples, only every 4th call rescored; a resample forces a
+    refresh; selections come from the CACHED scores in between."""
+    from qinfer_tpu.expdesign import PoolDesigner
+
+    model = q.BinomialModel(q.SimplePrecessionModel(), n_meas_max=8)
+    prior = q.UniformDistribution([[0.2, 0.8]])
+    u = q.SMCUpdater(model, 512, prior, seed=4)
+    pool = {"t": jnp.asarray([1.0, 3.0, 10.0, 30.0], jnp.float32),
+            "n_meas": jnp.full((4,), 8, jnp.int32)}
+    d = PoolDesigner(u, pool, policy="greedy", rescore_interval=4)
+    for _ in range(8):
+        eps, idx = d()
+        assert 0 <= idx < 4 and eps["t"].shape == (1,)
+    assert d.n_rescores == 2  # calls 0 and 4
+    # greedy from cache == greedy fresh (posterior unchanged: no updates)
+    fresh_idx = int(jnp.argmax(u.expected_information_gain(pool)))
+    assert d()[1] == fresh_idx
+    # a resample invalidates the cache even mid-interval
+    before = d.n_rescores
+    u.resample()
+    d()
+    assert d.n_rescores == before + 1
+    # validation
+    with pytest.raises(ValueError, match="utility"):
+        PoolDesigner(u, pool, utility="loss")
+
+
+def test_pool_designer_converges_with_amortized_scores():
+    """End-to-end: amortized rescoring (interval 4 + on-resample) still
+    drives a precession estimate to the truth."""
+    from qinfer_tpu.expdesign import PoolDesigner
+
+    model = q.BinomialModel(q.SimplePrecessionModel(), n_meas_max=16)
+    prior = q.UniformDistribution([[0.2, 0.8]])
+    u = q.SMCUpdater(model, 2048, prior, seed=7)
+    ts = jnp.asarray(np.geomspace(0.5, 100.0, 24), jnp.float32)
+    pool = {"t": ts, "n_meas": jnp.full((24,), 16, jnp.int32)}
+    d = PoolDesigner(u, pool, policy="auto", rescore_interval=4, seed=9)
+    true = jnp.asarray([[0.43]])
+    key = jax.random.key(8)
+    for _ in range(40):
+        key, k_s = jax.random.split(key)
+        eps, _ = d()
+        out = model.simulate_experiment(k_s, true, eps)
+        u.update(out, eps)
+    assert d.n_rescores < 30  # genuinely amortized (40 calls + resamples)
+    est = float(u.est_mean()[0])
+    sig = float(jnp.sqrt(u.est_covariance_mtx()[0, 0]))
+    assert abs(est - 0.43) < max(5 * sig, 0.02)

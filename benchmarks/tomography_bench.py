@@ -81,6 +81,11 @@ def main():
                         "gradient (two extra matvecs on the compressed "
                         "record; optimal acceptance 0.574). Sufficient-"
                         "record configs only")
+    parser.add_argument("--target-accept", type=float, default=None,
+                        help="Robbins-Monro acceptance target for --adapt "
+                        "(default: the method's optimal-scaling constant, "
+                        "0.234 rwm / 0.574 mala; constrained high-dim "
+                        "targets can prefer lower)")
     parser.add_argument("--adapt", action="store_true",
                         help="Robbins-Monro adaptation of the proposal "
                         "step size toward the method's optimal "
@@ -108,6 +113,18 @@ def main():
                         "requires --moves semantics via the sufficient "
                         "record (set --moves > 0 to enable the path; "
                         "the move count itself is ignored)")
+    parser.add_argument("--waste-free-kernel", default="rwm",
+                        choices=["rwm", "pcn"],
+                        help="waste-free chain proposal family (round 5):"
+                        " 'pcn' = preconditioned Crank-Nicolson against "
+                        "the ensemble Gaussian (dimension-robust "
+                        "acceptance)")
+    parser.add_argument("--waste-free-lw-seed", type=float, default=None,
+                        help="Liu-West shrinkage a: perturb the "
+                        "waste-free ancestors with one LW step before "
+                        "chaining (restores spread at high dim)")
+    parser.add_argument("--waste-free-beta", type=float, default=0.3,
+                        help="pCN step size for --waste-free-kernel pcn")
     parser.add_argument("--interval", type=int, default=0,
                         help="check the ESS resample condition only "
                         "every K-th step (reference batch_update "
@@ -507,7 +524,10 @@ def main():
                         model, prior, sub, s.weights, s.locations,
                         succ, trials, pool_eps, args.waste_free,
                         args.proposal_scale,
-                        canonicalize=not args.no_move_canonicalize)
+                        canonicalize=not args.no_move_canonicalize,
+                        kernel=args.waste_free_kernel,
+                        lw_seed_a=args.waste_free_lw_seed,
+                        beta=args.waste_free_beta)
                     return s._replace(
                         weights=w2, locations=x2, key=key2,
                         just_resampled=jnp.asarray(True),
@@ -529,6 +549,7 @@ def main():
                         model, prior, sub, s.locations, succ, trials,
                         pool_eps, n_moves, ls_, t_,
                         method=args.mcmc_method, adapt=args.adapt,
+                        target_accept=args.target_accept,
                         canonicalize=not args.no_move_canonicalize)
                     return (s._replace(locations=x, key=key2), ls_,
                             t_), acc

@@ -28,6 +28,7 @@ composes into the engine's fused scanned step.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -302,7 +303,8 @@ def mcmc_rejuvenate_binomial(model, prior, key, locations, succ, trials,
 
 
 def _waste_free_core(model, prior, key, weights, locations, record_ll,
-                     n_stages, proposal_scale, canonicalize):
+                     n_stages, proposal_scale, canonicalize,
+                     kernel="rwm", lw_seed_a=None, beta=0.3):
     """Waste-free resample-move (Dau & Chopin 2022): resample M = n/P
     ancestors, run P−1 Metropolis steps per ancestor, and keep EVERY
     chain state as a particle — n states from only (P−1)·M ≈ n MH
@@ -314,6 +316,25 @@ def _waste_free_core(model, prior, key, weights, locations, record_ll,
     The proposal covariance comes from the FULL weighted pre-resample
     ensemble (Roberts-Gelman-Gilks scaling), not the collapsed ancestor
     set. Returns ``(uniform_weights, locations, mean_acceptance)``.
+
+    Round-5 intermediate kernels (VERDICT r4 #6 — the plain random walk
+    collapses at 255 dims because the chain must DECORRELATE P-fold
+    duplicated ancestors, which takes O(d) steps):
+
+    * ``lw_seed_a`` (float in (0, 1], or None): perturb the selected
+      ancestors with ONE Liu-West shrink step (``a·x + (1−a)·μ +
+      h·L·ξ``, h = √(1−a²)) before chaining — restores ensemble spread
+      immediately (the classic LW mean/covariance-preserving
+      approximation) so the chain refines instead of having to create
+      diversity from scratch. Invalid perturbed seeds fall back to their
+      (valid) unperturbed ancestor.
+    * ``kernel='pcn'``: preconditioned-Crank-Nicolson proposals
+      ``x' = μ + √(1−β²)(x−μ) + β·L·ξ`` — reversible w.r.t. the Gaussian
+      reference N(μ, Σ), so the MH ratio is the RESIDUAL likelihood
+      ratio ``[lp(x') + ‖r'‖²/2] − [lp(x) + ‖r‖²/2]`` (r = whitened
+      residual) whose acceptance does not degrade with dimension when
+      the target is close to its Gaussian approximation (Cotter et al.
+      2013). ``beta`` is the pCN step size.
     """
     from .resamplers import counting_ancestors_from_u
 
@@ -335,30 +356,72 @@ def _waste_free_core(model, prior, key, weights, locations, record_ll,
         lambda _: chol, None)
     step = (proposal_scale / jnp.sqrt(float(d))) * chol
 
-    k_anc, k_init, k_scan = jax.random.split(key, 3)
+    k_anc, k_seed, k_init, k_scan = jax.random.split(key, 4)
     u = jax.random.uniform(k_anc, ())
     anc = counting_ancestors_from_u(u, weights, M)     # (M,) sorted
     x0 = locations[anc]                                # (M, d)
+
+    if lw_seed_a is not None:
+        a = float(lw_seed_a)
+        h = math.sqrt(max(1.0 - a * a, 0.0))
+        seed = (a * x0 + (1.0 - a) * mu[None, :]
+                + h * jax.random.normal(k_seed, (M, d), x0.dtype)
+                @ chol.T)
+        ok = model.are_models_valid(seed)
+        x0 = jnp.where(ok[:, None], seed, x0)
 
     def posterior_lp(x):
         return record_ll(x, None) + log_pdf(x)
 
     lp0 = posterior_lp(x0)
 
-    def body(carry, k):
-        x, lp = carry
-        k_prop, k_acc = jax.random.split(k)
-        prop = x + jax.random.normal(k_prop, (M, d), x.dtype) @ step.T
-        valid = model.are_models_valid(prop)
-        lp_prop = posterior_lp(prop)
-        log_u = jnp.log(jax.random.uniform(k_acc, (M,), x.dtype))
-        accept = valid & (log_u < lp_prop - lp)
-        x = jnp.where(accept[:, None], prop, x)
-        lp = jnp.where(accept, lp_prop, lp)
-        return (x, lp), (x, jnp.mean(accept.astype(jnp.float32)))
+    if kernel == "pcn":
+        beta = jnp.asarray(beta, locations.dtype)
+        rho = jnp.sqrt(1.0 - beta * beta)
+        # whitened residuals carried through the chain: the pCN update is
+        # r' = ρ·r + β·ξ and the Gaussian-reference correction is ‖r‖²/2,
+        # so no triangular solves are ever needed
+        r0 = jax.scipy.linalg.solve_triangular(
+            chol, (x0 - mu[None, :]).T, lower=True).T
 
-    (_, _), (chain, acc) = jax.lax.scan(
-        body, (x0, lp0), jax.random.split(k_scan, P - 1))
+        def body(carry, k):
+            x, r, lp = carry
+            k_prop, k_acc = jax.random.split(k)
+            xi = jax.random.normal(k_prop, (M, d), x.dtype)
+            r_p = rho * r + beta * xi
+            prop = mu[None, :] + r_p @ chol.T
+            valid = model.are_models_valid(prop)
+            lp_p = posterior_lp(prop)
+            # residual-likelihood MH ratio (Gaussian reference cancels)
+            res = (lp_p + 0.5 * jnp.sum(r_p * r_p, axis=1)) \
+                - (lp + 0.5 * jnp.sum(r * r, axis=1))
+            log_u = jnp.log(jax.random.uniform(k_acc, (M,), x.dtype))
+            accept = valid & (log_u < res)
+            x = jnp.where(accept[:, None], prop, x)
+            r = jnp.where(accept[:, None], r_p, r)
+            lp = jnp.where(accept, lp_p, lp)
+            return (x, r, lp), (x, jnp.mean(accept.astype(jnp.float32)))
+
+        (_, _, _), (chain, acc) = jax.lax.scan(
+            body, (x0, r0, lp0), jax.random.split(k_scan, P - 1))
+    elif kernel == "rwm":
+        def body(carry, k):
+            x, lp = carry
+            k_prop, k_acc = jax.random.split(k)
+            prop = x + jax.random.normal(k_prop, (M, d), x.dtype) @ step.T
+            valid = model.are_models_valid(prop)
+            lp_prop = posterior_lp(prop)
+            log_u = jnp.log(jax.random.uniform(k_acc, (M,), x.dtype))
+            accept = valid & (log_u < lp_prop - lp)
+            x = jnp.where(accept[:, None], prop, x)
+            lp = jnp.where(accept, lp_prop, lp)
+            return (x, lp), (x, jnp.mean(accept.astype(jnp.float32)))
+
+        (_, _), (chain, acc) = jax.lax.scan(
+            body, (x0, lp0), jax.random.split(k_scan, P - 1))
+    else:
+        raise ValueError(f"unknown waste-free kernel {kernel!r} "
+                         "(rwm | pcn)")
     # (P-1, M, d) chain states + the ancestors themselves = P·M = n
     out = jnp.concatenate([x0[None], chain], axis=0).reshape(n, d)
     if canonicalize:
@@ -369,7 +432,8 @@ def _waste_free_core(model, prior, key, weights, locations, record_ll,
 
 def waste_free_rejuvenate_binomial(model, prior, key, weights, locations,
                                    succ, trials, eps_pool, n_stages,
-                                   proposal_scale=2.38, canonicalize=True):
+                                   proposal_scale=2.38, canonicalize=True,
+                                   kernel="rwm", lw_seed_a=None, beta=0.3):
     """Waste-free resample-move over a compressed binomial record (the
     sufficient-statistic target of :func:`mcmc_rejuvenate_binomial`).
     Replaces BOTH the resample and the post-resample moves: call instead
@@ -390,12 +454,14 @@ def waste_free_rejuvenate_binomial(model, prior, key, weights, locations,
 
     return _waste_free_core(model, prior, key, weights, locations,
                             record_ll, n_stages, proposal_scale,
-                            canonicalize)
+                            canonicalize, kernel=kernel,
+                            lw_seed_a=lw_seed_a, beta=beta)
 
 
 def waste_free_rejuvenate(model, prior, key, weights, locations, outcomes,
                           eps_record, mask, n_stages, proposal_scale=2.38,
-                          canonicalize=True):
+                          canonicalize=True, kernel="rwm", lw_seed_a=None,
+                          beta=0.3):
     """Full-record waste-free resample-move (general models; O(T·M) per
     MH evaluation instead of O(T·n))."""
     if getattr(model, "wants_likelihood_key", False):
@@ -409,7 +475,8 @@ def waste_free_rejuvenate(model, prior, key, weights, locations, outcomes,
 
     return _waste_free_core(model, prior, key, weights, locations,
                             record_ll, n_stages, proposal_scale,
-                            canonicalize)
+                            canonicalize, kernel=kernel,
+                            lw_seed_a=lw_seed_a, beta=beta)
 
 
 # ---------------------------------------------------------------------------
@@ -468,8 +535,6 @@ def initial_log_scale(d, method="rwm", proposal_scale=None):
     (the optimal-scaling constants). ``proposal_scale`` overrides the
     numerator (so a hand-tuned RWM constant can seed adaptation).
     """
-    import math
-
     if method == "mala":
         base = 1.65 if proposal_scale is None else float(proposal_scale)
         return math.log(base) - math.log(float(d)) / 6.0
@@ -686,7 +751,8 @@ mcmc_rejuvenate_binomial_jit = partial(
     jax.jit, static_argnames=("n_moves", "canonicalize"))(
     mcmc_rejuvenate_binomial)
 waste_free_rejuvenate_binomial_jit = partial(
-    jax.jit, static_argnames=("n_stages", "canonicalize"))(
+    jax.jit, static_argnames=("n_stages", "canonicalize", "kernel",
+                              "lw_seed_a"))(
     waste_free_rejuvenate_binomial)
 mcmc_rejuvenate_adaptive_jit = partial(
     jax.jit, static_argnames=("n_moves", "method", "canonicalize",

@@ -377,7 +377,9 @@ def _update_step_eager(model, resampler, state, outcome, eps,
                                    "n_mcmc_moves", "sufficient",
                                    "mcmc_canonicalize",
                                    "waste_free_stages", "use_adaptive",
-                                   "mcmc_method", "mcmc_adapt"))
+                                   "mcmc_method", "mcmc_adapt",
+                                   "waste_free_kernel",
+                                   "waste_free_lw_seed"))
 def _batch_update(model, resampler, state, outcomes, eps_batch,
                   resample_thresh, zero_weight_thresh,
                   resample_interval=5, check_resample=True,
@@ -387,7 +389,9 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
                   succ0=None, trials0=None, succ_inc=None, trials_inc=None,
                   mcmc_canonicalize=True, waste_free_stages=0,
                   use_adaptive=False, mcmc_method="rwm", mcmc_adapt=False,
-                  target_accept=0.234, log_scale0=0.0, adapt_t0=0):
+                  target_accept=0.234, log_scale0=0.0, adapt_t0=0,
+                  waste_free_kernel="rwm", waste_free_lw_seed=None,
+                  waste_free_beta=0.3):
     """``lax.scan`` over a whole experiment record.
 
     Reference parity: ``smc.py::SMCUpdater.batch_update(resample_interval)``
@@ -460,7 +464,9 @@ def _batch_update(model, resampler, state, outcomes, eps_batch,
                 w, x, _ = waste_free_rejuvenate_binomial(
                     model, prior, sub, s.weights, s.locations, succ,
                     trials, pool_eps, waste_free_stages, proposal_scale,
-                    canonicalize=mcmc_canonicalize)
+                    canonicalize=mcmc_canonicalize,
+                    kernel=waste_free_kernel,
+                    lw_seed_a=waste_free_lw_seed, beta=waste_free_beta)
                 return s._replace(
                     weights=w, locations=x, key=key,
                     just_resampled=jnp.asarray(True),
@@ -710,6 +716,15 @@ class SMCUpdater:
         decorrelate P-fold-copied ancestors, so prefer this when the
         model dimension is at most the chain length and keep Liu-West +
         ``n_mcmc_moves`` above that.
+    :param str waste_free_kernel: chain proposal family for the
+        waste-free kernel — ``'rwm'`` (random walk, the round-4 default)
+        or ``'pcn'`` (preconditioned Crank-Nicolson: dimension-robust
+        acceptance against the ensemble's Gaussian approximation).
+    :param waste_free_lw_seed: optional Liu-West shrinkage parameter
+        ``a``: perturb the waste-free ancestors with one LW step before
+        chaining, restoring ensemble spread immediately at high
+        dimension (round 5, VERDICT r4 #6).
+    :param float waste_free_beta: pCN step size (``'pcn'`` kernel only).
     :param str mcmc_method: rejuvenation proposal family — ``'rwm'``
         (random walk, the default) or ``'mala'`` (Langevin: proposals
         drift along ∇ log posterior; two extra matvecs on compressed
@@ -735,7 +750,9 @@ class SMCUpdater:
                  n_mcmc_moves=0, mcmc_proposal_scale=2.38,
                  compress_mcmc_record=False, mcmc_canonicalize=True,
                  waste_free_stages=0, mcmc_method="rwm",
-                 mcmc_adapt=False, mcmc_target_accept=None):
+                 mcmc_adapt=False, mcmc_target_accept=None,
+                 waste_free_kernel="rwm", waste_free_lw_seed=None,
+                 waste_free_beta=0.3):
         self.model = model
         self.prior = prior
         self._n_particles = int(n_particles)
@@ -814,6 +831,14 @@ class SMCUpdater:
             resolve_prior_log_pdf(prior)  # raises for intractable priors
         self.compress_mcmc_record = bool(compress_mcmc_record)
         self.waste_free_stages = int(waste_free_stages)
+        self.waste_free_kernel = str(waste_free_kernel)
+        self.waste_free_lw_seed = (None if waste_free_lw_seed is None
+                                   else float(waste_free_lw_seed))
+        self.waste_free_beta = float(waste_free_beta)
+        if self.waste_free_kernel not in ("rwm", "pcn"):
+            raise ValueError(
+                f"unknown waste_free_kernel {self.waste_free_kernel!r} "
+                "(rwm | pcn)")
         if self.waste_free_stages > 0:
             if not compress_mcmc_record:
                 raise ValueError(
@@ -1171,6 +1196,9 @@ class SMCUpdater:
                 proposal_scale=self.mcmc_proposal_scale,
                 mcmc_canonicalize=self.mcmc_canonicalize,
                 waste_free_stages=self.waste_free_stages,
+                waste_free_kernel=self.waste_free_kernel,
+                waste_free_lw_seed=self.waste_free_lw_seed,
+                waste_free_beta=jnp.float32(self.waste_free_beta),
                 **self._adaptive_kwargs())
         elif self.n_mcmc_moves > 0:
             n_past = len(self._eps_record)
@@ -1480,7 +1508,10 @@ class SMCUpdater:
             self.model, self.prior, sub, st.weights, st.locations,
             succ, trials, pool_eps, n_stages=self.waste_free_stages,
             proposal_scale=self.mcmc_proposal_scale,
-            canonicalize=self.mcmc_canonicalize)
+            canonicalize=self.mcmc_canonicalize,
+            kernel=self.waste_free_kernel,
+            lw_seed_a=self.waste_free_lw_seed,
+            beta=self.waste_free_beta)
         self._state = st._replace(
             weights=w, locations=x, key=key,
             just_resampled=jnp.asarray(True),

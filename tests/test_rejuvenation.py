@@ -246,3 +246,78 @@ def test_updater_waste_free_validation():
     with pytest.raises(ValueError, match="zero_weight_policy"):
         q.SMCUpdater(model, 64, prior, compress_mcmc_record=True,
                      waste_free_stages=8, zero_weight_policy="error")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 waste-free intermediate kernels (pCN / LW-seeded ancestors)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kernel,lw_seed", [("pcn", None), ("rwm", 0.98),
+                                            ("pcn", 0.98)])
+def test_waste_free_variants_recover_conjugate_posterior(kernel, lw_seed):
+    """pCN chains and LW-seeded ancestors must preserve the conjugate
+    Beta(71, 31) target exactly like the round-4 random-walk kernel."""
+    import scipy.stats as st
+    from qinfer_tpu.rejuvenation import (binomial_record_log_likelihood,
+                                         waste_free_rejuvenate_binomial)
+
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=20)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    n = 4096
+    x = prior.sample(jax.random.key(0), n)
+    succ = jnp.asarray([70.0])
+    trials = jnp.asarray([100.0])
+    pool_eps = {"exp_num": jnp.zeros((1,), jnp.int32)}
+    ll = binomial_record_log_likelihood(q.CoinModel(), x, succ, trials,
+                                        pool_eps)
+    w = jax.nn.softmax(ll)
+    w2, x2, acc = waste_free_rejuvenate_binomial(
+        model, prior, jax.random.key(7), w, x, succ, trials, pool_eps,
+        n_stages=8, kernel=kernel, lw_seed_a=lw_seed, beta=0.5)
+    assert x2.shape == (n, 1)
+    assert 0.05 < float(acc) < 0.995
+    ref = st.beta(71, 31)
+    xs = np.asarray(x2)[:, 0]
+    assert abs(xs.mean() - ref.mean()) < 0.012, (kernel, lw_seed)
+    assert abs(xs.std() - ref.std()) < 0.012, (kernel, lw_seed)
+
+
+def test_waste_free_kernel_validation():
+    from qinfer_tpu.rejuvenation import waste_free_rejuvenate_binomial
+
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=4)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    x = prior.sample(jax.random.key(0), 64)
+    with pytest.raises(ValueError, match="kernel"):
+        waste_free_rejuvenate_binomial(
+            model, prior, jax.random.key(1), jnp.full((64,), 1 / 64.0),
+            x, jnp.asarray([1.0]), jnp.asarray([4.0]),
+            {"exp_num": jnp.zeros((1,), jnp.int32)}, n_stages=8,
+            kernel="hmc")
+    with pytest.raises(ValueError, match="waste_free_kernel"):
+        q.SMCUpdater(model, 64, prior, compress_mcmc_record=True,
+                     waste_free_stages=8, waste_free_kernel="hmc",
+                     zero_weight_policy="reset")
+
+
+def test_updater_waste_free_pcn_engine_path():
+    """Engine integration: waste_free_kernel='pcn' + LW seeding through
+    the scanned batch path recovers the conjugate posterior."""
+    import scipy.stats as st
+
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=20)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    counts = jnp.asarray([14, 15, 13, 14, 14], jnp.int32)
+    eps = {"exp_num": jnp.zeros((5,), jnp.int32),
+           "n_meas": jnp.full((5,), 20, jnp.int32)}
+    u = q.SMCUpdater(model, 4096, prior, seed=5,
+                     compress_mcmc_record=True, waste_free_stages=8,
+                     waste_free_kernel="pcn", waste_free_lw_seed=0.98,
+                     waste_free_beta=0.5,
+                     resample_thresh=0.9, zero_weight_policy="reset")
+    u.batch_update(counts, eps, resample_interval=1)
+    ref = st.beta(71, 31)
+    assert int(u.resample_count) >= 1
+    assert abs(float(u.est_mean()[0]) - ref.mean()) < 0.02
+    assert abs(float(jnp.sqrt(u.est_covariance_mtx()[0, 0]))
+               - ref.std()) < 0.015

@@ -178,9 +178,16 @@ def main():
     from qinfer_tpu.smc import SMCState, _update_step_impl
     from qinfer_tpu.resamplers import LiuWestResampler
 
+    # Invariant (round 5, measured): at least ONE strict projection per
+    # resample-move event. The Liu-West resampler may skip its own
+    # projection ONLY when the move block's end-of-block projection is
+    # active; with both off the 255-dim flagship collapses (0.98 →
+    # 0.48-0.65 on-chip, R05_BATCH2) — the strict projection is
+    # correctness at high dimension, not hygiene.
     resampler = LiuWestResampler(
         a=0.98, maxiter=4,
         canonicalize=(args.moves == 0 and args.waste_free == 0)
+        or args.no_move_canonicalize
         or args.strict_resample_canonicalize)
     n = args.particles
 

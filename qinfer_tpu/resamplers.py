@@ -390,9 +390,15 @@ class LiuWestResampler(Resampler):
         that follow re-gate validity per proposal and re-apply the
         strict projection at the end of the move block — so the
         intermediate strict projection here (~88 ms per event at
-        embedded d = 32, the flagship's dominant resample cost) is
-        redundant. The engine selects this automatically when
-        ``n_mcmc_moves > 0`` and no explicit resampler is given.
+        embedded d = 32) is redundant. The engine selects this
+        automatically when ``n_mcmc_moves > 0`` AND the move block's
+        own projection is active (``mcmc_canonicalize=True``).
+        MEASURED WARNING (PERF_NOTES round 5): never combine
+        ``canonicalize=False`` with a move block that also skips its
+        projection — with no strict projection per resample-move event
+        the 255-dim flagship posterior collapses (0.98 → 0.48-0.65);
+        the strict projection is per-event correctness at high
+        dimension, not hygiene.
     """
 
     def __init__(self, a=0.98, h=None, maxiter=10, debug=False,

@@ -761,15 +761,21 @@ class SMCUpdater:
             self.resampler = resampler
         else:
             # Resample-move configs get the validity-tolerant Liu-West
-            # contract (round 5, VERDICT r4 #2): every engine resample is
-            # followed by Metropolis moves that re-gate validity per
-            # proposal and re-apply the strict model projection at the
-            # end of the move block (mcmc_canonicalize), so the
-            # resampler's own strict canonicalize — ~88 ms per event at
-            # embedded d = 32 — is redundant work on the hot path.
+            # contract (round 5, VERDICT r4 #2) — but ONLY when the move
+            # block itself re-applies the strict model projection
+            # (mcmc_canonicalize=True, the default): one strict
+            # projection per resample-move event instead of two. The
+            # invariant "at least one strict projection per event" is
+            # LOAD-BEARING at high dimension: with BOTH projections off,
+            # the 255-dim flagship collapses 0.98 → 0.48-0.65 (measured
+            # on-chip, PERF_NOTES round 5 — posterior mass leaks into
+            # the psd_tol shell where clipped likelihoods saturate),
+            # while 63 dims survives. So strictness is hygiene per
+            # PROJECTION but correctness per EVENT.
             self.resampler = LiuWestResampler(
                 a=0.98, canonicalize=not (int(n_mcmc_moves) > 0
-                                          and int(waste_free_stages) == 0))
+                                          and int(waste_free_stages) == 0
+                                          and bool(mcmc_canonicalize)))
         self.debug_resampling = bool(debug_resampling)
         self.track_resampling_divergence = bool(track_resampling_divergence)
         self.zero_weight_policy = zero_weight_policy

@@ -47,6 +47,12 @@ def test_updater_selects_tolerant_resampler_for_move_configs():
     # no moves -> strict (reference parity)
     u = q.SMCUpdater(q.CoinModel(), 64, prior)
     assert u.resampler.canonicalize is True
+    # the move block's projection disabled -> the resampler must keep
+    # strictness (at least one strict projection per resample-move
+    # event; the measured high-dim collapse otherwise)
+    u = q.SMCUpdater(q.CoinModel(), 64, prior, n_mcmc_moves=2,
+                     mcmc_canonicalize=False)
+    assert u.resampler.canonicalize is True
     # waste-free replaces the resampler; the default stays strict
     u = q.SMCUpdater(q.BinomialModel(q.CoinModel(), n_meas_max=4), 64,
                      prior, waste_free_stages=8,

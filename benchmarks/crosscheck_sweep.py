@@ -22,11 +22,16 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--trials", type=int, default=20)
     parser.add_argument("--ref-seeds", type=int, default=6)
+    parser.add_argument("--tpu", action="store_true",
+                        help="run the qinfer_tpu side on the accelerator "
+                        "(default CPU: querying the backend to decide "
+                        "would itself initialize the tunneled TPU client "
+                        "— unsafe while another TPU job runs)")
     args = parser.parse_args()
 
     import jax
 
-    if jax.default_backend() not in ("tpu",):
+    if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np

@@ -70,13 +70,39 @@ def build_config(cfg, n_particles, repeats=8):
 def timed_scan(variant, cfg, n_particles):
     import qinfer_tpu as q
     from qinfer_tpu.resamplers import LiuWestResampler
-    from qinfer_tpu.smc import SMCState, _update_step_impl
+    from qinfer_tpu.smc import SMCState, _batch_update, _update_step_impl
 
     model, prior, eps, outs = build_config(cfg, n_particles)
     resampler = LiuWestResampler(a=0.98)
     kp, kr = jax.random.split(jax.random.key(0))
     state = SMCState.initial(prior.sample(kp, n_particles), kr)
     T = int(outs.shape[0])
+
+    if variant == "engine":
+        # the REAL engine program (exactly what SMCUpdater.batch_update
+        # jits, default resample_interval=5), minus its host-side prep —
+        # isolates compiled-program overhead vs harness overhead
+        def run_engine():
+            final, norms = _batch_update(
+                model, resampler, state, outs, eps, 0.5, 1e-10,
+                resample_interval=5)
+            return final, norms
+
+        f, n0 = run_engine()
+        jax.block_until_ready(f.weights)            # compile
+        t0 = time.perf_counter()
+        f, n0 = run_engine()
+        jax.block_until_ready(f.weights)
+        dt = time.perf_counter() - t0
+        return {
+            "variant": variant,
+            "n_particles": n_particles,
+            "n_steps": T,
+            "wall_s": round(dt, 5),
+            "ms_per_step": round(1e3 * dt / T, 4),
+            "updates_per_s": round(n_particles * T / dt, 1),
+            "resamples": int(f.resample_count),
+        }
 
     def step(st, idx):
         eps_i = {k: v[idx][None] for k, v in eps.items()}
@@ -136,7 +162,7 @@ def main():
     cfgs = [2, 3] if args.config == "both" else [int(args.config)]
     results = {"phases": [], "sweep": []}
     for cfg in cfgs:
-        for variant in ["noop", "reweight", "gated", "full"]:
+        for variant in ["noop", "reweight", "gated", "full", "engine"]:
             r = timed_scan(variant, cfg, args.particles)
             r["config"] = cfg
             results["phases"].append(r)

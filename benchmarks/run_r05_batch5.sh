@@ -27,4 +27,10 @@ run "composed rwm-adapt t0.14 8000 s0 (int4+eigint4)" \
   "$B" $PROC --steps 8000 --moves 8 --adapt --mcmc-method rwm --target-accept 0.14 --seed 0
 run "plain rwm-adapt t0.14 8000 s0 (adaptive matches hand-tuned at r4 horizon)" \
   "$B" --process --process-qubits 2 --particles 50000 --shots 64 --chunk 100 --no-move-canonicalize --eig --eig-policy egreedy --steps 8000 --moves 8 --adapt --mcmc-method rwm --target-accept 0.14 --seed 0
+# plain-MALA robustness: seed 2 read 0.681 in batch 2b (early wrong-basin
+# commitment); grow the sample to estimate the outlier rate
+for seed in 3 4 5; do
+  run "plain mala-adapt 8000 s$seed (outlier-rate probe)" \
+    "$B" --process --process-qubits 2 --particles 50000 --shots 64 --chunk 100 --no-move-canonicalize --eig --eig-policy egreedy --steps 8000 --moves 8 --adapt --mcmc-method mala --seed $seed
+done
 echo "=== batch5 done" >> "$OUT"

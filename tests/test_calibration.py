@@ -306,3 +306,54 @@ def test_process_tomography_compressed_record_calibration():
     # so their PIT is degenerate by construction)
     _assert_calibrated(rec, [0, 5, 14], n_trials,
                        "process tomography (compressed record)")
+
+
+def test_process_tomography_adaptive_mala_calibration():
+    """Coverage/PIT for the ROUND-5 engine path: the self-tuning MALA
+    kernel (mcmc_adapt + Robbins-Monro) on compressed records — the MH
+    invariance is pinned analytically in test_adaptive_mcmc; this checks
+    the END-TO-END posterior stays calibrated when the step size adapts
+    across resample-move events inside the scanned batch."""
+    import qinfer_tpu.tomography as tomo
+    from qinfer_tpu.tomography.models import ProcessTomographyModel
+
+    b1 = tomo.pauli_basis(1)
+    b2 = tomo.pauli_basis(2)
+    two = ProcessTomographyModel(b2, b1)
+    model = q.BinomialModel(two, n_meas_max=16)
+    prior = tomo.BCSZChoiDistribution(b2)
+
+    kets = np.asarray(
+        [[1, 0], [0, 1],
+         [1 / np.sqrt(2), 1 / np.sqrt(2)],
+         [1 / np.sqrt(2), 1j / np.sqrt(2)]], dtype=np.complex64)
+    fid = jnp.asarray(np.stack([
+        np.asarray(b1.state_to_modelparams(np.outer(k, k.conj())))
+        for k in kets]), dtype=jnp.float32)
+
+    n_trials, n_steps, n_particles = 28, 24, 1536
+    rng = np.random.default_rng(52)
+    w_fin, x_fin, truths = [], [], []
+    for t in range(n_trials):
+        true_mps = prior.sample(jax.random.key(40_000 + t), 1)
+        prep_idx = rng.integers(0, 4, n_steps)
+        meas_idx = rng.integers(0, 4, n_steps)
+        eps = {"prep": fid[prep_idx], "meas": fid[meas_idx],
+               "n_meas": jnp.full((n_steps,), 16, jnp.int32)}
+        outs = model.simulate_experiment(
+            jax.random.key(50_000 + t), true_mps, eps)[0]
+        u = q.SMCUpdater(model, n_particles, prior, seed=60_000 + t,
+                         n_mcmc_moves=3, compress_mcmc_record=True,
+                         mcmc_method="mala", mcmc_adapt=True,
+                         zero_weight_policy="reset")
+        u.batch_update(outs, eps, resample_interval=3)
+        assert u._mcmc_adapt_t >= 0
+        w_fin.append(np.asarray(u.particle_weights))
+        x_fin.append(np.asarray(u.particle_locations))
+        truths.append(np.asarray(true_mps)[0])
+
+    rec = {"final_weights": np.stack(w_fin),
+           "final_locations": np.stack(x_fin),
+           "true_mps": np.stack(truths)}
+    _assert_calibrated(rec, [0, 5, 14], n_trials,
+                       "process tomography (adaptive MALA)")

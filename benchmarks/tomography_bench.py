@@ -184,9 +184,12 @@ def main():
     # active; with both off the 255-dim flagship collapses (0.98 →
     # 0.48-0.65 on-chip, R05_BATCH2) — the strict projection is
     # correctness at high dimension, not hygiene.
+    # tolerant ONLY when the move path is genuinely active (--waste-free
+    # without --moves leaves the wf/move path dormant — the resampler
+    # must then keep the strict projection itself)
     resampler = LiuWestResampler(
         a=0.98, maxiter=4,
-        canonicalize=(args.moves == 0 and args.waste_free == 0)
+        canonicalize=(args.moves == 0)
         or args.no_move_canonicalize
         or args.strict_resample_canonicalize)
     n = args.particles

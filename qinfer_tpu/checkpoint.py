@@ -81,7 +81,13 @@ def _rejuvenation_record_arrays(updater):
                                       np.int64),
              # Robbins-Monro adaptive-kernel state (round 5): without it
              # a resumed adaptive updater would restart from the initial
-             # scale and re-pay the adaptation transient
+             # scale and re-pay the adaptation transient. The flag marks
+             # whether the SOURCE actually used the adaptive kernel —
+             # restoring a legacy/fixed-kernel checkpoint must not
+             # clobber a fresh updater's seeded initial scale.
+             "__mcmc_adaptive": np.asarray(
+                 1 if getattr(updater, "_use_adaptive_kernel", False)
+                 else 0, np.int64),
              "__mcmc_log_scale": np.asarray(
                  getattr(updater, "_mcmc_log_scale", 0.0), np.float64),
              "__mcmc_adapt_t": np.asarray(
@@ -104,9 +110,13 @@ def _restore_rejuvenation_record(updater, arrays):
     """Inverse of :func:`_rejuvenation_record_arrays`; ``arrays`` keys are
     consumed (popped). Clears any stale record the target updater holds."""
     updater._n_record = int(arrays.pop("__n_record", 0))
-    if "__mcmc_log_scale" in arrays:
-        updater._mcmc_log_scale = float(arrays.pop("__mcmc_log_scale"))
-        updater._mcmc_adapt_t = int(arrays.pop("__mcmc_adapt_t", 0))
+    src_adaptive = bool(int(arrays.pop("__mcmc_adaptive", 0)))
+    ls = arrays.pop("__mcmc_log_scale", None)
+    t_ad = arrays.pop("__mcmc_adapt_t", None)
+    if (src_adaptive and ls is not None
+            and getattr(updater, "_use_adaptive_kernel", False)):
+        updater._mcmc_log_scale = float(ls)
+        updater._mcmc_adapt_t = int(t_ad)
     pool_keys = [k for k in list(arrays) if k.startswith("__pool_eps__")]
     updater._pool_eps, updater._pool_succ, updater._pool_trials = [], [], []
     updater._pool_index = {}

@@ -187,7 +187,11 @@ class PoolDesigner:
         self._key = (jax.random.key(seed) if isinstance(seed, int)
                      else seed)
         self._scores = None
-        self._calls = 0
+        # calls since the last rescore (NOT total calls): a
+        # resample-triggered refresh resets the interval phase, so the
+        # next scheduled rescore is a full interval later rather than
+        # potentially the very next call
+        self._since_rescore = 0
         self._scored_at_resample = -1
         self.n_rescores = 0  # observability: how often the pool rescored
 
@@ -202,14 +206,15 @@ class PoolDesigner:
         :func:`design_from_candidates`."""
         rc = int(self.updater.state.resample_count)
         stale = (self._scores is None
-                 or self._calls % self.rescore_interval == 0
+                 or self._since_rescore >= self.rescore_interval
                  or (self.rescore_on_resample
                      and rc != self._scored_at_resample))
         if stale:
             self._scores = self._fresh_scores()
             self._scored_at_resample = rc
+            self._since_rescore = 0
             self.n_rescores += 1
-        self._calls += 1
+        self._since_rescore += 1
         self._key, sub = jax.random.split(self._key)
         idx = int(select_candidate(
             sub, self._scores, policy=self.policy, epsilon=self.epsilon,

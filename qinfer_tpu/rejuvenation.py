@@ -206,15 +206,8 @@ def _mh_moves(model, prior, key, locations, record_ll, n_moves,
     """
     n, d = locations.shape
     log_pdf = resolve_prior_log_pdf(prior)
-
-    mu = jnp.mean(locations, axis=0)
-    xc = locations - mu[None, :]
-    cov = xc.T @ xc / n + 1e-10 * jnp.eye(d, dtype=locations.dtype)
-    chol = jnp.linalg.cholesky(cov)
-    chol = jax.lax.cond(
-        jnp.any(jnp.isnan(chol)), lambda _: sqrtm_psd(cov),
-        lambda _: chol, None)
-    step = (proposal_scale / jnp.sqrt(float(d))) * chol
+    step = (proposal_scale / jnp.sqrt(float(d))) \
+        * _ensemble_chol(locations)
 
     def posterior_lp(x, k):
         return record_ll(x, k) + log_pdf(x)
@@ -347,13 +340,7 @@ def _waste_free_core(model, prior, key, weights, locations, record_ll,
 
     # weighted ensemble covariance for the proposal
     mu = jnp.sum(weights[:, None] * locations, axis=0)
-    xc = locations - mu[None, :]
-    cov = (weights[:, None] * xc).T @ xc \
-        + 1e-10 * jnp.eye(d, dtype=locations.dtype)
-    chol = jnp.linalg.cholesky(cov)
-    chol = jax.lax.cond(
-        jnp.any(jnp.isnan(chol)), lambda _: sqrtm_psd(cov),
-        lambda _: chol, None)
+    chol = _ensemble_chol(locations, weights=weights)
     step = (proposal_scale / jnp.sqrt(float(d))) * chol
 
     k_anc, k_seed, k_init, k_scan = jax.random.split(key, 4)

@@ -1383,6 +1383,18 @@ class SMCUpdater:
         key, sub = jax.random.split(st.key)
         new_w, new_x, n_fallback = self.resampler.call_with_diagnostics(
             self.model, sub, st.weights, st.locations)
+        # projection invariant (round 5): a validity-tolerant resampler
+        # relies on the move block's strict projection — when no move
+        # will actually run (no moves configured, empty record, or the
+        # move projection disabled), this manual resample must project
+        # itself or the ensemble is left in the psd_tol shell
+        moves_will_project = (
+            self.n_mcmc_moves > 0 and self.mcmc_canonicalize
+            and (self._n_record if self.compress_mcmc_record
+                 else len(self._eps_record)) > 0)
+        if (not getattr(self.resampler, "canonicalize", True)
+                and not moves_will_project):
+            new_x = self.model.canonicalize(new_x)
         self._warn_resampler_fallback(int(n_fallback))
         self._state = st._replace(
             weights=new_w, locations=new_x, key=key,

@@ -171,10 +171,14 @@ def test_updater_adaptive_engine_paths():
     ls_after_batch = u._mcmc_log_scale
     assert ls_after_batch != u._mcmc_log_scale0
 
-    # sequential path continues adapting from the batch's state
-    u.update(jnp.asarray(14), {"exp_num": jnp.zeros((1,), jnp.int32),
-                               "n_meas": jnp.full((1,), 20, jnp.int32)})
-    assert len(u.mcmc_acceptance_record) >= 0  # record exists
+    # sequential path continues adapting from the batch's state: force a
+    # resample-move event and check the acceptance record grew and the
+    # sweep counter advanced past the batch's value
+    t_after_batch = u._mcmc_adapt_t
+    n_acc = len(u.mcmc_acceptance_record)
+    u.resample()  # manual resample fires _rejuvenate_now
+    assert len(u.mcmc_acceptance_record) == n_acc + 1
+    assert u._mcmc_adapt_t == t_after_batch + u.n_mcmc_moves
 
     save_updater("/tmp/test_adaptive_ck", u)
     u2 = q.SMCUpdater(model, 4000, prior, seed=5, n_mcmc_moves=5,
@@ -207,3 +211,28 @@ def test_adaptive_waste_free_combination_raises():
         q.SMCUpdater(q.CoinModel(), 100, prior, waste_free_stages=10,
                      compress_mcmc_record=True, mcmc_adapt=True,
                      zero_weight_policy="reset")
+
+
+def test_legacy_checkpoint_does_not_clobber_seeded_scale():
+    """Restoring a fixed-kernel (non-adaptive) checkpoint into an
+    adaptive updater must keep the target's seeded initial_log_scale —
+    the source never adapted, so its stored 0.0 placeholder is not
+    adaptation state (round-5 review fix)."""
+    from qinfer_tpu.checkpoint import load_updater, save_updater
+
+    model = q.BinomialModel(q.CoinModel(), n_meas_max=20)
+    prior = q.UniformDistribution([[0.0, 1.0]])
+    legacy = q.SMCUpdater(model, 256, prior, seed=1, n_mcmc_moves=2,
+                          compress_mcmc_record=True)
+    legacy.update(jnp.asarray(14), {"exp_num": jnp.zeros((1,), jnp.int32),
+                                    "n_meas": jnp.full((1,), 20,
+                                                       jnp.int32)})
+    save_updater("/tmp/test_legacy_ck", legacy)
+    target = q.SMCUpdater(model, 256, prior, seed=2, n_mcmc_moves=2,
+                          compress_mcmc_record=True, mcmc_method="mala",
+                          mcmc_adapt=True)
+    seeded = target._mcmc_log_scale
+    assert seeded != 0.0
+    load_updater("/tmp/test_legacy_ck", target)
+    assert target._mcmc_log_scale == seeded
+    assert target._mcmc_adapt_t == 0

@@ -481,3 +481,26 @@ def test_pool_designer_converges_with_amortized_scores():
     est = float(u.est_mean()[0])
     sig = float(jnp.sqrt(u.est_covariance_mtx()[0, 0]))
     assert abs(est - 0.43) < max(5 * sig, 0.02)
+
+
+def test_pool_designer_resample_resets_interval_phase():
+    """A resample-triggered rescore must reset the interval clock: the
+    next scheduled rescore is a full interval later, not potentially the
+    very next call (round-5 review fix)."""
+    from qinfer_tpu.expdesign import PoolDesigner
+
+    model = q.BinomialModel(q.SimplePrecessionModel(), n_meas_max=8)
+    prior = q.UniformDistribution([[0.2, 0.8]])
+    u = q.SMCUpdater(model, 512, prior, seed=4)
+    pool = {"t": jnp.asarray([1.0, 3.0, 10.0, 30.0], jnp.float32),
+            "n_meas": jnp.full((4,), 8, jnp.int32)}
+    d = PoolDesigner(u, pool, policy="greedy", rescore_interval=4)
+    d(); d(); d()                      # calls 1-3: rescore at call 1
+    assert d.n_rescores == 1
+    u.resample()                       # advances resample_count
+    d()                                # call 4: resample-triggered
+    assert d.n_rescores == 2
+    d(); d(); d()                      # calls 5-7: phase was RESET at 4
+    assert d.n_rescores == 2           # no interval rescore yet
+    d()                                # call 8: full interval elapsed
+    assert d.n_rescores == 3

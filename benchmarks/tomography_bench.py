@@ -139,6 +139,16 @@ def main():
                         "the validity-tolerant Liu-West contract — the "
                         "moves re-gate validity and own the strict "
                         "projection)")
+    parser.add_argument("--project-every", type=int, default=0,
+                        help="strict-project the ensemble only on every "
+                        "K-th resample-move event (round-5 lever probe: "
+                        "the per-event d=32 projection is ~40%% of the "
+                        "composed flagship wall, and the measured "
+                        "zero-projection collapse takes hundreds of "
+                        "events to develop — K amortizes containment). "
+                        "Implies the tolerant resampler + no per-move "
+                        "projection; 0 = off (sufficient-record "
+                        "configs only)")
     parser.add_argument("--no-move-canonicalize", action="store_true",
                         help="skip the strict PSD re-projection at the "
                         "end of each rejuvenation call (accepted "
@@ -186,12 +196,15 @@ def main():
     # correctness at high dimension, not hygiene.
     # tolerant ONLY when the move path is genuinely active (--waste-free
     # without --moves leaves the wf/move path dormant — the resampler
-    # must then keep the strict projection itself)
+    # must then keep the strict projection itself). --project-every
+    # replaces the per-event projection with a periodic one, so it also
+    # releases the resampler.
     resampler = LiuWestResampler(
         a=0.98, maxiter=4,
-        canonicalize=(args.moves == 0)
-        or args.no_move_canonicalize
-        or args.strict_resample_canonicalize)
+        canonicalize=((args.moves == 0)
+                      or (args.no_move_canonicalize
+                          and args.project_every == 0)
+                      or args.strict_resample_canonicalize))
     n = args.particles
 
     if args.process:
@@ -449,6 +462,24 @@ def main():
                                  v.dtype) for k, v in eps0.items()}
         rec_out0 = jnp.zeros((total_steps,), jnp.int32)
     use_adaptive = n_moves > 0 and (args.adapt or args.mcmc_method != "rwm")
+    if args.project_every > 0 and (n_moves == 0 or args.waste_free > 0):
+        raise SystemExit("--project-every requires the sufficient-record "
+                         "move path (--moves > 0, no --waste-free)")
+    # with periodic projection the per-move-call projection is off
+    move_canon = (not args.no_move_canonicalize) and args.project_every == 0
+
+    def periodic_project(s):
+        """Strict-project the ensemble on every K-th resample-move event
+        (amortized containment of the psd_tol-shell leak — see the
+        round-5 projection-invariant measurements)."""
+        if args.project_every <= 0:
+            return s
+        return jax.lax.cond(
+            s.just_resampled
+            & (s.resample_count % args.project_every == 0),
+            lambda ss: ss._replace(
+                locations=model.canonicalize(ss.locations)),
+            lambda ss: ss, s)
     if use_adaptive and not sufficient:
         raise SystemExit("--adapt / --mcmc-method mala require the "
                          "sufficient-statistic record path")
@@ -560,7 +591,7 @@ def main():
                         pool_eps, n_moves, ls_, t_,
                         method=args.mcmc_method, adapt=args.adapt,
                         target_accept=args.target_accept,
-                        canonicalize=not args.no_move_canonicalize)
+                        canonicalize=move_canon)
                     return (s._replace(locations=x, key=key2), ls_,
                             t_), acc
 
@@ -569,6 +600,7 @@ def main():
                     lambda op: (op, jnp.float32(0.0)),
                     (new_st, ls, t_ad))
                 acc_sum = acc_sum + acc
+                new_st = periodic_project(new_st)
                 return (new_st, key, true, succ, trials, acc_sum,
                         ls, t_ad), ()
 
@@ -577,13 +609,14 @@ def main():
                 x, acc = mcmc_rejuvenate_binomial(
                     model, prior, sub, s.locations, succ, trials,
                     pool_eps, n_moves, args.proposal_scale,
-                    canonicalize=not args.no_move_canonicalize)
+                    canonicalize=move_canon)
                 return s._replace(locations=x, key=key2), acc
 
             new_st, acc = jax.lax.cond(
                 new_st.just_resampled, move,
                 lambda s: (s, jnp.float32(0.0)), new_st)
             acc_sum = acc_sum + acc
+            new_st = periodic_project(new_st)
             return (new_st, key, true, succ, trials, acc_sum), ()
         if n_moves > 0:
             rec_o = rec_o.at[idx].set(outcome[0].astype(jnp.int32))
